@@ -1,0 +1,58 @@
+"""Index configuration — frozen reference-semantics decisions (SURVEY.md §7.0).
+
+BM25 constants mirror the reference's Elasticsearch/Lucene defaults
+(``packages/core/src/tfidf.ts:16-17``); chunker defaults mirror the
+character fallback chunker (``packages/core/src/embeddings.ts:266-296``,
+``ast-chunking.ts:59-68``); the 1 MiB max file size mirrors
+``indexer.ts:100`` / ``utils.ts:206-208``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Any
+
+# BM25 parameters — packages/core/src/tfidf.ts:16-17
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Posting-list physical layout
+POSTING_BLOCK = 128  # docs per skip block (block-max metadata granularity)
+
+SCHEMA_VERSION = 1
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Build-time knobs for the distributed index.
+
+    ``num_partitions`` is the document-partitioning fan-out: every chunk
+    is routed to ``part_id = splitmix64(doc_id) % num_partitions`` and
+    each partition holds a complete local inverted index for its own
+    docs.  This is the engine's skew answer: a Zipfian-hot term
+    (``self``, ``return``) never lands on a single reducer — its
+    postings are split across all partitions (the per-partition df is
+    the "salted" partial) and only tiny ``(term, df_local)`` rows meet
+    in the global IDF aggregation.  Size partitions so one partition's
+    chunk+posting data fits a worker's heap (~1-2 GB at 100 TB scale ⇒
+    num_partitions ~ 10^5; tests use small values).
+    """
+
+    tokenizer: str = "code"  # "code" (camelCase/snake split) | "simple" (tfidf fallback regex)
+    max_chunk_size: int = 1000  # chars — embeddings.ts:266
+    chunk_overlap: int = 100  # chars — embeddings.ts:267
+    max_file_size: int = 1024 * 1024  # bytes — indexer.ts:100
+    num_partitions: int = 16
+    k1: float = BM25_K1
+    b: float = BM25_B
+    posting_block: int = POSTING_BLOCK
+    # Ray execution knobs
+    batch_size: int = 1024  # rows per map_batches batch in the build stages
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    def to_dict(self) -> dict[str, Any]:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "IndexConfig":
+        return IndexConfig(**{k: v for k, v in d.items() if k in IndexConfig.__dataclass_fields__})
