@@ -39,10 +39,11 @@ def batch_sha256(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 def splitmix64(x: np.ndarray | int):
     """SplitMix64 finalizer (public domain constant schedule) — stable doc→partition routing."""
-    z = (np.asarray(x).astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
-    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
-    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
-    z = z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        z = (np.asarray(x).astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+        z = z ^ (z >> np.uint64(31))
     return z if isinstance(x, np.ndarray) else int(z)
 
 

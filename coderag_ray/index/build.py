@@ -1,0 +1,260 @@
+"""Distributed index build — the flagship Ray Data pipeline.
+
+Ray-native replacement for ``CodebaseIndexer.index()``
+(``/root/reference/packages/core/src/indexer.ts:360-702``).  The
+reference's per-50-file loop + 4 global SQL finalize passes
+(``indexer.ts:488-632``, ``:639-655``) collapse into:
+
+    read_parquet(docs)
+      → map_batches(ingest)                 # sha256, size filter, doc_id, part routing
+      → [fingerprint pass: tiny groupby → resume decision]
+      → map_batches(chunk)                  # 1 doc → N chunk rows
+      → map_batches(tokenize)               # vectorized term lists
+      → groupby(part_id).map_groups(write_partition)   # the one wide shuffle
+    + groupby(term) over per-partition (term, df_local) partials → global IDF
+
+Scale notes (the parts that must survive 100 TB / 256 nodes):
+
+- The only all-to-all exchange moves *tokenized chunk rows* once,
+  keyed by ``part_id`` — a uniform hash of doc_id, so no key skew.
+  Term-keyed skew (Zipfian ``self``/``return``) never reaches a
+  shuffle: hot terms are pre-aggregated into per-partition
+  ``(term, df_local)`` partials, and the global IDF groupby only moves
+  those tiny partial rows (the salt = partition id).
+- The fingerprint pass re-reads the input (IO only, no tokenize) to
+  decide which partitions are dirty; the expensive chunk/tokenize/
+  encode work then runs *only* over dirty partitions — checkpointed
+  resume at partition granularity.
+- ``content`` is dropped from the doc stream after chunking (chunks
+  carry their own text into ``chunks.parquet`` but the full-file string
+  never crosses the shuffle twice).
+- Global scalars (N, Σ tokens, avgdl) come from exact integer sums in
+  the manifest — float-deterministic regardless of partition order.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from coderag_ray.config import SCHEMA_VERSION, IndexConfig
+from coderag_ray.functions.bm25 import avg_doc_length, idf_smoothed
+from coderag_ray.functions.hashing import sha_prefix_u32
+from coderag_ray.index import manifest as mf
+from coderag_ray.index.partition import write_partition
+from coderag_ray.stages.chunk import make_chunker
+from coderag_ray.stages.ingest import make_ingest, make_part_filter
+from coderag_ray.stages.tokenize import make_tokenizer_stage
+
+
+@dataclass
+class BuildReport:
+    index_dir: str
+    n_docs: int
+    n_chunks: int
+    n_postings: int
+    total_tokens: int
+    avgdl: float
+    n_partitions: int
+    dirty_partitions: int
+    wall_s: float
+    docs_per_sec: float
+
+
+def _fingerprints(ingest_ds, num_partitions: int) -> dict[int, str]:
+    """Cheap pass: per-partition input fingerprint from ingest rows."""
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part_id": t["part_id"],
+                "sha32": pa.array(sha_prefix_u32(t["content_sha256"])),
+                "nb": t["n_bytes"],
+            }
+        )
+
+    agg = (
+        ingest_ds.map_batches(project, batch_format="pyarrow")
+        .groupby("part_id")
+        .aggregate(Count(alias_name="n_docs"), Sum("sha32", alias_name="sha_sum"),
+                   Sum("nb", alias_name="byte_sum"))
+    )
+    out: dict[int, str] = {p: mf.fingerprint_of(0, 0, 0) for p in range(num_partitions)}
+    for row in agg.take_all():
+        out[int(row["part_id"])] = mf.fingerprint_of(
+            int(row["n_docs"]), int(row["sha_sum"]), int(row["byte_sum"])
+        )
+    return out
+
+
+def _build_idf(index_dir: str, part_rows: dict[int, dict], n_chunks_total: int) -> None:
+    """Global IDF from per-partition (term, df_local) partials.
+
+    ``groupby(term).sum(df_local)`` over pre-aggregated partials — the
+    merge step of the salted df aggregation (A1/A2 in SURVEY.md §2.5);
+    idf = ln((N+1)/(df+1))+1 with N = total chunk count
+    (storage-persistent.ts:1013-1019).
+    """
+    files = [
+        os.path.join(index_dir, "parts", f"part={p:05d}", "termdf.parquet")
+        for p, row in sorted(part_rows.items())
+        if row.get("n_chunks", 0) > 0
+    ]
+    files = [f for f in files if os.path.exists(f)]
+    idf_dir = os.path.join(index_dir, "idf")
+    tmp_dir = os.path.join(index_dir, f"_tmp_idf_{os.getpid()}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    if not files:
+        os.makedirs(tmp_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"term": pa.array([], type=pa.string()),
+                      "df": pa.array([], type=pa.int64()),
+                      "idf": pa.array([], type=pa.float64())}),
+            os.path.join(tmp_dir, "idf.parquet"),
+        )
+    else:
+        ds = ray.data.read_parquet(files)
+        agg = ds.groupby("term").aggregate(Sum("df_local", alias_name="df"))
+
+        def add_idf(t: pa.Table) -> pa.Table:
+            df = t["df"].to_numpy(zero_copy_only=False)
+            return t.append_column("idf", pa.array(idf_smoothed(df, n_chunks_total)))
+
+        # sort by term: deterministic file contents + parquet row-group
+        # stats enable per-query predicate pushdown on term
+        agg.map_batches(add_idf, batch_format="pyarrow").sort("term").write_parquet(tmp_dir)
+    if os.path.exists(idf_dir):
+        shutil.rmtree(idf_dir)
+    os.replace(tmp_dir, idf_dir)
+
+
+def build_index(
+    docs,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    *,
+    resume: bool = True,
+) -> BuildReport:
+    """Build (or incrementally refresh) the inverted index at ``index_dir``.
+
+    ``docs``: a ray Dataset with columns (repo, path, commit, lang,
+    content[, doc_id]) or a parquet path/list of paths.
+    """
+    t0 = time.perf_counter()
+    config = config or IndexConfig()
+    if isinstance(docs, (str, list)):
+        docs = ray.data.read_parquet(docs)
+
+    os.makedirs(os.path.join(index_dir, "parts"), exist_ok=True)
+    # clear stale tmp dirs from a previous crashed run
+    parts_root = os.path.join(index_dir, "parts")
+    for d in os.listdir(parts_root):
+        if d.startswith("_tmp_"):
+            shutil.rmtree(os.path.join(parts_root, d), ignore_errors=True)
+
+    ingest = make_ingest(config)
+    ingest_ds = docs.map_batches(ingest, batch_format="pyarrow")
+
+    # ---- pass 1: fingerprints → dirty set ------------------------------
+    fps = _fingerprints(ingest_ds, config.num_partitions)
+    old = mf.manifest_partitions(mf.load_manifest(index_dir)) if resume else {}
+    old_cfg = (mf.load_manifest(index_dir) or {}).get("config") if resume else None
+    if old_cfg is not None and old_cfg != config.to_dict():
+        old = {}  # config change invalidates everything
+    def _is_clean(p: int) -> bool:
+        row = old.get(p)
+        if row is None or row.get("fingerprint") != fps[p]:
+            return False
+        # a clean non-empty partition must still exist on disk
+        return row.get("n_chunks", 0) == 0 or os.path.isdir(
+            os.path.join(parts_root, f"part={p:05d}")
+        )
+
+    dirty = [p for p in range(config.num_partitions) if not _is_clean(p)]
+
+    part_rows: dict[int, dict] = {p: old[p] for p in old if p not in dirty}
+
+    # ---- pass 2: full build over dirty partitions ----------------------
+    if dirty:
+        dirty_set = frozenset(dirty)
+        pipeline = ingest_ds
+        if len(dirty) < config.num_partitions:
+            pipeline = pipeline.map_batches(make_part_filter(dirty_set), batch_format="pyarrow")
+        chunked = pipeline.map_batches(make_chunker(config), batch_format="pyarrow")
+        tokenized = chunked.map_batches(make_tokenizer_stage(config), batch_format="pyarrow")
+
+        fps_ref = fps  # tiny dict, captured by closure (broadcast with the task)
+        idx_dir, cfg = index_dir, config
+
+        def write_group(group: pa.Table) -> pa.Table:
+            pid = int(group["part_id"][0].as_py())
+            row = write_partition(group, idx_dir, cfg, fps_ref[pid])
+            return pa.table({k: [v] for k, v in row.items()})
+
+        results = (
+            tokenized.groupby("part_id")
+            .map_groups(write_group, batch_format="pyarrow")
+            .take_all()
+        )
+        for row in results:
+            part_rows[int(row["part_id"])] = {k: v for k, v in row.items() if k != "part_id"}
+        # dirty partitions that ended up with zero chunks (only empty/filtered
+        # docs): record them so resume doesn't re-run them forever
+        for p in dirty:
+            if p not in part_rows:
+                part_rows[p] = {
+                    "fingerprint": fps[p], "n_docs": 0, "n_chunks": 0, "n_postings": 0,
+                    "n_terms": 0, "total_tokens": 0, "bytes_postings": 0, "bytes_docs": 0,
+                    "wall_s": 0.0, "docs_per_sec": None, "postings_per_sec": None,
+                }
+                stale = os.path.join(parts_root, f"part={p:05d}")
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+
+    # ---- global stats + idf -------------------------------------------
+    n_chunks = sum(r.get("n_chunks", 0) for r in part_rows.values())
+    n_postings = sum(r.get("n_postings", 0) for r in part_rows.values())
+    n_docs = sum(r.get("n_docs", 0) for r in part_rows.values())
+    total_tokens = sum(r.get("total_tokens", 0) for r in part_rows.values())
+    avgdl = avg_doc_length(total_tokens, n_chunks)
+
+    if dirty or not os.path.exists(os.path.join(index_dir, "idf")):
+        _build_idf(index_dir, part_rows, n_chunks)
+
+    mf.save_manifest(index_dir, SCHEMA_VERSION, config.to_dict(), part_rows)
+    mf.save_meta(
+        index_dir,
+        {
+            "schema_version": SCHEMA_VERSION,
+            "config": config.to_dict(),
+            "n_docs": n_docs,
+            "n_chunks": n_chunks,
+            "n_postings": n_postings,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+        },
+    )
+    wall = time.perf_counter() - t0
+    return BuildReport(
+        index_dir=index_dir,
+        n_docs=n_docs,
+        n_chunks=n_chunks,
+        n_postings=n_postings,
+        total_tokens=total_tokens,
+        avgdl=avgdl,
+        n_partitions=config.num_partitions,
+        dirty_partitions=len(dirty),
+        wall_s=round(wall, 3),
+        docs_per_sec=round(n_docs / wall, 2) if wall > 0 else 0.0,
+    )

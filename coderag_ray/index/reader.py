@@ -1,0 +1,130 @@
+"""Index reader — query-side access to a built index.
+
+Loads the small global state once (meta, manifest, per-query idf rows)
+and exposes per-partition posting/doc access.  The reference's
+equivalent is the SQLite connection + ``getIdfScoresForTerms`` broadcast
+lookup (``/root/reference/packages/core/src/storage-persistent.ts:812-837``)
+and ``getAverageDocLength`` (``:939-963``); here idf rows are fetched by
+parquet predicate pushdown on the term-sorted ``idf/`` table, and each
+partition's postings by pushdown on the term-sorted
+``postings.parquet``.  Partition doc arrays are cached per reader (one
+reader per query-server process / scorer actor — ST-style state,
+``indexer.ts:103`` analog).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from coderag_ray.config import IndexConfig
+from coderag_ray.index import manifest as mf
+from coderag_ray.index.partition import part_dirname
+
+
+@dataclass
+class PartitionHandle:
+    part_id: int
+    doc_ids: np.ndarray      # [n_local] int64, ordinal-indexed
+    chunk_ids: np.ndarray    # [n_local] int64
+    dls: np.ndarray          # [n_local] int64 token counts
+    paths: np.ndarray | None = None  # lazily loaded for result filters
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self.doc_ids)
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.meta = mf.load_meta(index_dir)
+        self.config = IndexConfig.from_dict(self.meta["config"])
+        man = mf.load_manifest(index_dir)
+        self.partitions = sorted(
+            p for p, row in mf.manifest_partitions(man).items() if row.get("n_chunks", 0) > 0
+        )
+        self.avgdl = float(self.meta["avgdl"])
+        self.n_chunks = int(self.meta["n_chunks"])
+        self._part_cache: dict[int, PartitionHandle] = {}
+        self._idf_cache: dict[str, tuple[int, float]] = {}
+        self._idf_misses: set[str] = set()
+
+    # -- global state ----------------------------------------------------
+    def idf_for_terms(self, terms: list[str]) -> dict[str, tuple[int, float]]:
+        """term → (df, idf) for the query's terms only (J3 broadcast lookup)."""
+        missing = [t for t in terms if t not in self._idf_cache and t not in self._idf_misses]
+        if missing:
+            idf_path = os.path.join(self.index_dir, "idf")
+            dataset = pads.dataset(idf_path, format="parquet")
+            tbl = dataset.to_table(filter=pc.field("term").isin(missing))
+            found = set()
+            for t, df, idf in zip(
+                tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["idf"].to_pylist()
+            ):
+                self._idf_cache[t] = (int(df), float(idf))
+                found.add(t)
+            self._idf_misses.update(set(missing) - found)
+        return {t: self._idf_cache[t] for t in terms if t in self._idf_cache}
+
+    # -- partitions ------------------------------------------------------
+    def part_dir(self, part_id: int) -> str:
+        return os.path.join(self.index_dir, "parts", part_dirname(part_id))
+
+    def partition(self, part_id: int) -> PartitionHandle:
+        h = self._part_cache.get(part_id)
+        if h is None:
+            tbl = pq.read_table(
+                os.path.join(self.part_dir(part_id), "docs.parquet"),
+                columns=["doc_id", "chunk_id", "dl"],
+            )
+            h = PartitionHandle(
+                part_id=part_id,
+                doc_ids=tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                chunk_ids=tbl["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                dls=tbl["dl"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+            self._part_cache[part_id] = h
+        return h
+
+    def partition_paths(self, part_id: int) -> np.ndarray:
+        h = self.partition(part_id)
+        if h.paths is None:
+            tbl = pq.read_table(
+                os.path.join(self.part_dir(part_id), "docs.parquet"), columns=["path"]
+            )
+            h.paths = np.array(tbl["path"].to_pylist(), dtype=object)
+        return h.paths
+
+    def postings_for_terms(self, part_id: int, terms: list[str]) -> dict[str, dict]:
+        """term → posting-list record (encoded buffers + block metadata).
+
+        Term-sorted parquet + row-group statistics make this an
+        O(#query-terms) selective read, the analog of the reference's
+        ``WHERE term IN (...)`` posting scan
+        (storage-persistent.ts:715-740) without the candidate cap.
+        """
+        path = os.path.join(self.part_dir(part_id), "postings.parquet")
+        dataset = pads.dataset(path, format="parquet")
+        tbl = dataset.to_table(filter=pc.field("term").isin(terms))
+        out: dict[str, dict] = {}
+        for i in range(tbl.num_rows):
+            rec = {name: tbl[name][i].as_py() for name in
+                   ("term", "df_local", "doc_buf", "freq_buf")}
+            for name in ("block_last_ord", "block_max_freq", "block_min_dl",
+                         "block_doc_off", "block_freq_off"):
+                rec[name] = np.asarray(tbl[name][i].as_py(), dtype=np.int64)
+            out[rec["term"]] = rec
+        return out
+
+    def chunk_contents(self, part_id: int, ordinals: np.ndarray) -> list[str]:
+        tbl = pq.read_table(
+            os.path.join(self.part_dir(part_id), "chunks.parquet"), columns=["content"]
+        )
+        col = tbl["content"]
+        return [col[int(o)].as_py() for o in ordinals]

@@ -1,0 +1,279 @@
+"""BM25 top-k search over the partitioned index.
+
+Ray-native replacement for ``CodebaseIndexer.search()``
+(``/root/reference/packages/core/src/indexer.ts:1165-1389``) and the
+in-memory ``searchDocuments`` (``tfidf.ts:354-427``):
+
+- query tokens deduped preserving first occurrence (``tfidf.ts:28``),
+- **exhaustive** scoring of every matching posting — unlike the
+  reference's SQL path, which caps candidates at ≤6·limit ranked by
+  distinct-term count (``storage-persistent.ts:738-739``,
+  ``indexer.ts:1298``) and can miss true top-k members (documented
+  deviation, SURVEY.md §7.0.5; the in-memory reference path is
+  exhaustive and is the parity target),
+- per-doc score = Σ over matched terms *in query order* of the shared
+  BM25 kernel — float64-deterministic across partitionings,
+- frozen tie-break ``(score DESC, doc_id ASC, chunk_id ASC)`` (the
+  reference's JS stable sort over retrieval order is nondeterministic
+  across rebuilds, SURVEY.md §4),
+- result filters (fileExtensions / pathFilter / excludePaths,
+  ``indexer.ts:1318-1333``) applied *pre-ranking* (superset of the
+  reference's post-retrieval filtering — documented deviation M15),
+- partitions scored independently (embarrassingly parallel — each
+  holds a complete local index) and merged by the same tie-break, so
+  results are identical at any partition count.
+
+Per-query execution is a driver-side loop (or ``ray.remote`` fan-out
+with ``parallel=True``) over O(P) partitions — at 256-node scale this
+becomes one scatter-gather RPC per scorer actor holding its partition
+shard, which :class:`BatchScorer` models for batch evaluation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from coderag_ray.functions import varint
+from coderag_ray.functions.bm25 import bm25_term_score
+from coderag_ray.functions.tokenizer import tokenize
+from coderag_ray.index.reader import IndexReader
+
+
+@dataclass
+class SearchFilters:
+    """indexer.ts:1228-1242 result filters."""
+
+    file_extensions: list[str] | None = None  # path endswith any
+    path_filter: str | None = None            # path contains
+    exclude_paths: list[str] | None = None    # path contains any → drop
+
+
+def dedupe_query_tokens(tokens: list[str]) -> list[str]:
+    """[...new Set(tokens)] preserving first occurrence — tfidf.ts:28."""
+    return list(dict.fromkeys(tokens))
+
+
+def _partition_scores(
+    reader: IndexReader,
+    part_id: int,
+    tokens: list[str],
+    idf_map: dict[str, tuple[int, float]],
+    filters: SearchFilters | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exhaustive scoring of one partition.
+
+    Returns (candidate_ordinals, scores, matched_bitmask) for ordinals
+    with ≥1 matched term (after filters).
+    """
+    h = reader.partition(part_id)
+    postings = reader.postings_for_terms(part_id, [t for t in tokens if t in idf_map])
+    scores = np.zeros(h.n_chunks, dtype=np.float64)
+    matched = np.zeros(h.n_chunks, dtype=np.int64)
+    dls_eff = np.maximum(h.dls, 1).astype(np.float64)  # tfidf.ts:400
+    for qi, tok in enumerate(tokens):
+        rec = postings.get(tok)
+        if rec is None:
+            continue
+        ords = varint.decode_deltas(rec["doc_buf"]).astype(np.int64)
+        freqs = varint.decode(rec["freq_buf"]).astype(np.float64)
+        idf = idf_map[tok][1]
+        scores[ords] += bm25_term_score(freqs, idf, dls_eff[ords], reader.avgdl)
+        matched[ords] |= 1 << qi
+
+    cand = np.flatnonzero(matched)
+    if len(cand) and filters is not None:
+        paths = reader.partition_paths(part_id)[cand]
+        keep = np.ones(len(cand), dtype=bool)
+        if filters.file_extensions:
+            keep &= np.array([any(p.endswith(e) for e in filters.file_extensions) for p in paths])
+        if filters.path_filter:
+            keep &= np.array([filters.path_filter in p for p in paths])
+        if filters.exclude_paths:
+            keep &= np.array([not any(x in p for x in filters.exclude_paths) for p in paths])
+        cand = cand[keep]
+    return cand, scores[cand], matched[cand]
+
+
+def _topk_merge(
+    parts: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]],
+    reader: IndexReader,
+    tokens: list[str],
+    k: int,
+    min_score: float,
+) -> pa.Table:
+    """Merge per-partition candidates with the frozen tie-break."""
+    rows = []
+    for part_id, cand, scores, matched in parts:
+        if len(cand) == 0:
+            continue
+        h = reader.partition(part_id)
+        keep = scores >= min_score  # reference keeps score == minScore (tfidf.ts:414)
+        rows.append(
+            (
+                np.full(keep.sum(), part_id, dtype=np.int64),
+                cand[keep],
+                scores[keep],
+                matched[keep],
+                h.doc_ids[cand[keep]],
+                h.chunk_ids[cand[keep]],
+            )
+        )
+    if not rows:
+        return _empty_result()
+    part_ids = np.concatenate([r[0] for r in rows])
+    ordinals = np.concatenate([r[1] for r in rows])
+    scores = np.concatenate([r[2] for r in rows])
+    matched = np.concatenate([r[3] for r in rows])
+    doc_ids = np.concatenate([r[4] for r in rows])
+    chunk_ids = np.concatenate([r[5] for r in rows])
+
+    order = np.lexsort((chunk_ids, doc_ids, -scores))[:k]
+    matched_terms = [
+        [tokens[qi] for qi in range(len(tokens)) if m & (1 << qi)] for m in matched[order]
+    ]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            "doc_id": pa.array(doc_ids[order]),
+            "chunk_id": pa.array(chunk_ids[order]),
+            "score": pa.array(scores[order]),
+            "matched_terms": pa.array(matched_terms, type=pa.list_(pa.string())),
+            "part_id": pa.array(part_ids[order]),
+            "ordinal": pa.array(ordinals[order]),
+        }
+    )
+
+
+def _empty_result() -> pa.Table:
+    return pa.table(
+        {
+            "rank": pa.array([], type=pa.int32()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+            "matched_terms": pa.array([], type=pa.list_(pa.string())),
+            "part_id": pa.array([], type=pa.int64()),
+            "ordinal": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def attach_doc_columns(result: pa.Table, reader: IndexReader) -> pa.Table:
+    """Join doc metadata (repo/path/lang/offsets/sha) onto a top-k result
+    — the chunks ⋈ files denormalized join (J4)."""
+    import pyarrow.parquet as pq
+    import os
+
+    cols = {c: [] for c in ("repo", "path", "lang", "start_offset", "end_offset",
+                            "chunk_sha256", "content_sha256", "token_count")}
+    cache: dict[int, pa.Table] = {}
+    for pid, ordn in zip(result["part_id"].to_pylist(), result["ordinal"].to_pylist()):
+        tbl = cache.get(pid)
+        if tbl is None:
+            tbl = pq.read_table(
+                os.path.join(reader.part_dir(pid), "docs.parquet"),
+                columns=["repo", "path", "lang", "start_offset", "end_offset",
+                         "chunk_sha256", "content_sha256", "dl"],
+            )
+            cache[pid] = tbl
+        for c in cols:
+            src = "dl" if c == "token_count" else c
+            cols[c].append(tbl[src][ordn].as_py())
+    for c, vals in cols.items():
+        result = result.append_column(c, pa.array(vals))
+    return result
+
+
+def make_snippets(result: pa.Table, reader: IndexReader) -> list[str]:
+    """Chunk content with line numbers — indexer.ts:1379-1382 semantics
+    (lines numbered from start_line; fallback chunks start at 0)."""
+    out = []
+    for pid, ordn in zip(result["part_id"].to_pylist(), result["ordinal"].to_pylist()):
+        content = reader.chunk_contents(pid, np.array([ordn]))[0]
+        out.append("\n".join(f"{i}: {ln}" for i, ln in enumerate(content.split("\n"))))
+    return out
+
+
+def search(
+    index: IndexReader | str,
+    query: str,
+    k: int = 10,
+    *,
+    min_score: float = 0.0,
+    filters: SearchFilters | None = None,
+    with_doc_columns: bool = True,
+    parallel: bool = False,
+) -> pa.Table:
+    """Top-k BM25 search; returns an Arrow table of ranked results."""
+    reader = index if isinstance(index, IndexReader) else IndexReader(index)
+    tokens = dedupe_query_tokens(tokenize(query, reader.config.tokenizer))
+    if not tokens or reader.n_chunks == 0:
+        return _empty_result()
+    if len(tokens) > 63:
+        tokens = tokens[:63]  # bitmask bound; queries are human-sized
+    idf_map = reader.idf_for_terms(tokens)
+    if not idf_map:
+        return _empty_result()
+
+    if parallel and len(reader.partitions) > 1:
+        import ray
+
+        @ray.remote
+        def score_part(index_dir: str, pid: int, toks, idf, flt):
+            r = IndexReader(index_dir)
+            cand, sc, m = _partition_scores(r, pid, toks, idf, flt)
+            return pid, cand, sc, m
+
+        futs = [
+            score_part.remote(reader.index_dir, pid, tokens, idf_map, filters)
+            for pid in reader.partitions
+        ]
+        parts = list(ray.get(futs))
+    else:
+        parts = [
+            (pid, *_partition_scores(reader, pid, tokens, idf_map, filters))
+            for pid in reader.partitions
+        ]
+    result = _topk_merge(parts, reader, tokens, k, min_score)
+    if with_doc_columns and result.num_rows:
+        result = attach_doc_columns(result, reader)
+    return result
+
+
+class BatchScorer:
+    """Actor-pool stage for batch query evaluation (M3 in SURVEY.md §7.2).
+
+    ``queries_ds.map_batches(BatchScorer, fn_constructor_args=(index_dir,),
+    concurrency=N, batch_size=B)`` — the reader (idf cache + partition
+    doc arrays) is loaded once per actor in ``__init__``, batches of
+    queries are scored per ``__call__``.  At multi-node scale each actor
+    would hold a partition shard and a driver-side merge combines
+    shard-local top-k; single-node actors hold the whole (small) index.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, doc_ids, chunk_ids, scores = [], [], [], [], []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            res = search(self.reader, text, self.k, with_doc_columns=False)
+            n = res.num_rows
+            qids.extend([qid] * n)
+            ranks.extend(res["rank"].to_pylist())
+            doc_ids.extend(res["doc_id"].to_pylist())
+            chunk_ids.extend(res["chunk_id"].to_pylist())
+            scores.extend(res["score"].to_pylist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "chunk_id": pa.array(chunk_ids, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )

@@ -1,0 +1,64 @@
+"""Tokenize stage — per-chunk term frequencies as list columns.
+
+Ray-native replacement for the reference's per-chunk tokenize +
+term-frequency step (``/root/reference/packages/core/src/indexer.ts:591-615``,
+``tfidf.ts:134-143``): a stateless vectorized ``map_batches`` transform
+(Arrow kernels end to end, see
+:func:`coderag_ray.functions.tokenizer.batch_term_counts`).
+
+Output = the chunk row plus ``terms: list<string>``,
+``freqs: list<int32>`` and ``token_count`` (Σ freqs — the BM25 document
+length, ``tfidf.ts:395-400``).  Chunks with zero tokens keep empty
+lists but remain rows — they count toward N and avgdl
+(``storage-persistent.ts:973``, ``indexer.ts:604-605``).
+
+The reference's StarCoder2 tokenizer is a per-worker singleton
+(``code-tokenizer.ts:37-153``); our deterministic lexer is regex-only, so
+a stateless task suffices (an actor pool drops in here unchanged if a
+model-backed tokenizer is configured — the stage factory returns a
+callable class in that case).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from coderag_ray.config import IndexConfig
+from coderag_ray.functions.tokenizer import batch_term_counts
+
+
+def append_term_lists(t: pa.Table, tokenizer: str) -> pa.Table:
+    """Add terms/freqs/token_count columns to a table with ``content``."""
+    rows, terms, freqs, token_count = batch_term_counts(t["content"], tokenizer)
+    n = t.num_rows
+    # rows is sorted ascending (np.unique) → offsets by bincount cumsum
+    counts = np.bincount(rows, minlength=n).astype(np.int32) if len(rows) else np.zeros(n, dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    terms_list = pa.ListArray.from_arrays(pa.array(offsets), terms)
+    freqs_list = pa.ListArray.from_arrays(pa.array(offsets), pa.array(freqs.astype(np.int32)))
+    t = t.append_column("terms", terms_list)
+    t = t.append_column("freqs", freqs_list)
+    return t.append_column("token_count", pa.array(token_count, type=pa.int64()))
+
+
+class TokenizeStage:
+    """Callable-class form for ``map_batches`` (actor pool when the
+    tokenizer needs loaded state; the regex lexer compiles once per
+    process either way)."""
+
+    def __init__(self, config: IndexConfig):
+        self.tokenizer = config.tokenizer
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return append_term_lists(t, self.tokenizer)
+
+
+def make_tokenizer_stage(config: IndexConfig):
+    tok = config.tokenizer
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        return append_term_lists(t, tok)
+
+    return tokenize
