@@ -1,0 +1,189 @@
+"""Benchmark harness — the driver runs this per round.
+
+Headline pipeline: distributed inverted-index build over a
+deterministic input-hint-shaped source-code corpus (repo, path, commit,
+lang, content) + BM25 top-k query latency on the built index, plus the
+sf-dir table pipelines (dedup, knn, windows).
+
+Prints ONE JSON line:
+  {"metric": "index_build+query", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the headline in fresh processes at 8 and 32 CPUs on
+the same input and reports both throughputs + scaling efficiency
+(sandbox stand-in for the N vs 4N node criterion; see BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), CODERAG_BENCH_DOCS (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("CODERAG_BENCH_DOCS", "20000"))
+CORPUS_SEED = 42
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_bench_corpus(n_docs: int) -> str:
+    """Materialize the synthetic corpus once (deterministic; shared across
+    parallelism levels so both measure identical input). Generation is
+    parallelized with Ray but excluded from the timed build."""
+    import ray.data
+
+    path = f"/tmp/coderag_bench_corpus/{n_docs}_{CORPUS_SEED}"
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    def gen(batch):
+        from coderag_ray.corpus import make_corpus_range
+
+        ids = batch["id"].to_pylist()
+        return make_corpus_range(min(ids), max(ids) + 1, CORPUS_SEED)
+
+    ray.data.range(n_docs, override_num_blocks=max(NUM_CPUS, 8)).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    ).write_parquet(path)
+    open(done, "w").close()
+    return path
+
+
+def make_corpus_range(lo: int, hi: int):
+    """Rows [lo, hi) of the deterministic corpus (same content as
+    make_corpus(n)[lo:hi] — the generator is counter-based per doc)."""
+    import pyarrow as pa
+
+    from coderag_ray import corpus as C
+
+    tbl = C.make_corpus(n_docs=hi, seed=CORPUS_SEED)
+    return tbl.slice(lo, hi - lo)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import ray.data
+
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.index.build import build_index
+    from coderag_ray.index.reader import IndexReader
+    from coderag_ray.query.search import search
+
+    results: dict[str, float] = {}
+
+    corpus_path = ensure_bench_corpus(BENCH_DOCS)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    ray.data.read_parquet(corpus_path).count()
+
+    index_dir = f"/tmp/coderag_bench_idx_{NUM_CPUS}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = IndexConfig(tokenizer="code", num_partitions=max(NUM_CPUS * 2, 16))
+    t0 = time.perf_counter()
+    report = build_index(ray.data.read_parquet(corpus_path), index_dir, cfg, resume=False)
+    build_s = time.perf_counter() - t0
+    results["build_index_s"] = round(build_s, 3)
+    results["build_docs_per_s"] = round(report.n_docs / build_s, 1)
+    results["build_chunks_per_s"] = round(report.n_chunks / build_s, 1)
+    results["build_postings_per_s"] = round(report.n_postings / build_s, 1)
+
+    # query latency: reference-style query mix (hot + rare terms)
+    reader = IndexReader(index_dir)
+    queries = [
+        "user authentication", "authenticate user", "database connection",
+        "handleRequest", "getUserById", "validate credentials password",
+        "self return function", "mergeSortedRuns posting_list", "const import",
+        "buildIndexPartition", "parseQueryString token_count", "class export",
+    ] + [f"getUserById{n} query" for n in range(0, 400, 13)]
+    lat = []
+    search(reader, queries[0], 10, with_doc_columns=False)  # warm idf/doc caches
+    for q in queries:
+        tq = time.perf_counter()
+        search(reader, q, 10, with_doc_columns=False)
+        lat.append(time.perf_counter() - tq)
+    lat_ms = np.array(lat) * 1000
+    results["query_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
+    results["query_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 2)
+    results["query_n"] = len(queries)
+
+    # incremental rebuild (resume no-op) — checkpoint overhead
+    t0 = time.perf_counter()
+    build_index(ray.data.read_parquet(corpus_path), index_dir, cfg, resume=True)
+    results["resume_noop_s"] = round(time.perf_counter() - t0, 3)
+
+    # sf-dir table pipelines
+    import __ray_entry__ as entrymod
+
+    for name in ("q_dedup_exact", "q_ngram_jaccard", "q_knn", "q_events_window",
+                 "q_sessions", "q_text_stats", "q_media_features"):
+        t0 = time.perf_counter()
+        out = entrymod.queries()[name](SF_DIR)
+        if hasattr(out, "to_pandas"):
+            out.to_pandas() if not hasattr(out, "materialize") else out.materialize()
+        results[f"{name}_s"] = round(time.perf_counter() - t0, 3)
+
+    headline = results["build_index_s"] + sum(lat)
+    out = {
+        "metric": "index_build+query",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("/")[-1],
+        "num_cpus": NUM_CPUS,
+        "bench_docs": BENCH_DOCS,
+        "n_chunks": report.n_chunks,
+        "n_postings": report.n_postings,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 vs 32 CPUs (N vs 4N stand-in)."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                           capture_output=True, text=True, check=True)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    thr_lo = lo["queries"]["build_docs_per_s"]
+    thr_hi = hi["queries"]["build_docs_per_s"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling_8_to_32_cpus",
+        "build_s_8": lo["queries"]["build_index_s"],
+        "build_s_32": hi["queries"]["build_index_s"],
+        "docs_per_s_8": thr_lo,
+        "docs_per_s_32": thr_hi,
+        "query_p95_ms_8": lo["queries"]["query_p95_ms"],
+        "query_p95_ms_32": hi["queries"]["query_p95_ms"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_docs": lo["bench_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

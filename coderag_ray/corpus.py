@@ -68,9 +68,17 @@ def _gen_content(seed: int, i: int, target_chars: int) -> str:
 
 def make_corpus(n_docs: int = 500, seed: int = 42, max_file_size: int = 1024 * 1024) -> pa.Table:
     """Build the synthetic corpus table; deterministic in (n_docs, seed)."""
+    return make_corpus_range(0, n_docs, seed, max_file_size)
+
+
+def make_corpus_range(lo: int, hi: int, seed: int = 42,
+                      max_file_size: int = 1024 * 1024) -> pa.Table:
+    """Rows [lo, hi) of the corpus — each row depends only on its index,
+    so ranges can be generated in parallel (bench.py fans this out with
+    ``ray.data.range(...).map_batches``)."""
     repos, paths, commits, langs, contents = [], [], [], [], []
     dup_cache: str | None = None
-    for i in range(n_docs):
+    for i in range(lo, hi):
         g = _rng(seed, 10_000_000 + i)
         ext = _EXTS[i % len(_EXTS)]
         repo = f"org{i % 7}/repo{i % 23}"
@@ -99,7 +107,7 @@ def make_corpus(n_docs: int = 500, seed: int = 42, max_file_size: int = 1024 * 1
         contents.append(content)
     return pa.table(
         {
-            "doc_id": pa.array(range(n_docs), type=pa.int64()),
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
             "repo": pa.array(repos),
             "path": pa.array(paths),
             "commit": pa.array(commits),

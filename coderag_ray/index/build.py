@@ -71,27 +71,27 @@ class BuildReport:
 
 
 def _fingerprints(ingest_ds, num_partitions: int) -> dict[int, str]:
-    """Cheap pass: per-partition input fingerprint from ingest rows."""
+    """Cheap pass: per-partition input fingerprint from ingest rows
+    (non-empty docs only — matches the writer-side recomputation)."""
 
     def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_chars"], 0))
         return pa.table(
             {
                 "part_id": t["part_id"],
                 "sha32": pa.array(sha_prefix_u32(t["content_sha256"])),
-                "nb": t["n_bytes"],
             }
         )
 
     agg = (
-        ingest_ds.map_batches(project, batch_format="pyarrow")
+        ingest_ds.map_batches(project, batch_format="pyarrow", batch_size=None)
         .groupby("part_id")
-        .aggregate(Count(alias_name="n_docs"), Sum("sha32", alias_name="sha_sum"),
-                   Sum("nb", alias_name="byte_sum"))
+        .aggregate(Count(alias_name="n_docs"), Sum("sha32", alias_name="sha_sum"))
     )
-    out: dict[int, str] = {p: mf.fingerprint_of(0, 0, 0) for p in range(num_partitions)}
+    out: dict[int, str] = {p: mf.fingerprint_of(0, 0) for p in range(num_partitions)}
     for row in agg.take_all():
         out[int(row["part_id"])] = mf.fingerprint_of(
-            int(row["n_docs"]), int(row["sha_sum"]), int(row["byte_sum"])
+            int(row["n_docs"]), int(row["sha_sum"])
         )
     return out
 
@@ -164,24 +164,31 @@ def build_index(
             shutil.rmtree(os.path.join(parts_root, d), ignore_errors=True)
 
     ingest = make_ingest(config)
-    ingest_ds = docs.map_batches(ingest, batch_format="pyarrow")
+    ingest_ds = docs.map_batches(ingest, batch_format="pyarrow", batch_size=None)
 
-    # ---- pass 1: fingerprints → dirty set ------------------------------
-    fps = _fingerprints(ingest_ds, config.num_partitions)
-    old = mf.manifest_partitions(mf.load_manifest(index_dir)) if resume else {}
-    old_cfg = (mf.load_manifest(index_dir) or {}).get("config") if resume else None
-    if old_cfg is not None and old_cfg != config.to_dict():
-        old = {}  # config change invalidates everything
-    def _is_clean(p: int) -> bool:
-        row = old.get(p)
-        if row is None or row.get("fingerprint") != fps[p]:
-            return False
-        # a clean non-empty partition must still exist on disk
-        return row.get("n_chunks", 0) == 0 or os.path.isdir(
-            os.path.join(parts_root, f"part={p:05d}")
-        )
+    # ---- pass 1 (resume only): fingerprints → dirty set ----------------
+    # Fresh builds skip this input scan entirely; partition writers
+    # self-compute the identical fingerprints for the manifest.
+    manifest_obj = mf.load_manifest(index_dir) if resume else None
+    if manifest_obj is not None and manifest_obj.get("config") != config.to_dict():
+        manifest_obj = None  # config change invalidates everything
+    old = mf.manifest_partitions(manifest_obj)
+    if old:
+        fps = _fingerprints(ingest_ds, config.num_partitions)
 
-    dirty = [p for p in range(config.num_partitions) if not _is_clean(p)]
+        def _is_clean(p: int) -> bool:
+            row = old.get(p)
+            if row is None or row.get("fingerprint") != fps[p]:
+                return False
+            # a clean non-empty partition must still exist on disk
+            return row.get("n_chunks", 0) == 0 or os.path.isdir(
+                os.path.join(parts_root, f"part={p:05d}")
+            )
+
+        dirty = [p for p in range(config.num_partitions) if not _is_clean(p)]
+    else:
+        fps = None
+        dirty = list(range(config.num_partitions))
 
     part_rows: dict[int, dict] = {p: old[p] for p in old if p not in dirty}
 
@@ -190,16 +197,14 @@ def build_index(
         dirty_set = frozenset(dirty)
         pipeline = ingest_ds
         if len(dirty) < config.num_partitions:
-            pipeline = pipeline.map_batches(make_part_filter(dirty_set), batch_format="pyarrow")
-        chunked = pipeline.map_batches(make_chunker(config), batch_format="pyarrow")
-        tokenized = chunked.map_batches(make_tokenizer_stage(config), batch_format="pyarrow")
+            pipeline = pipeline.map_batches(make_part_filter(dirty_set), batch_format="pyarrow", batch_size=None)
+        chunked = pipeline.map_batches(make_chunker(config), batch_format="pyarrow", batch_size=None)
+        tokenized = chunked.map_batches(make_tokenizer_stage(config), batch_format="pyarrow", batch_size=None)
 
-        fps_ref = fps  # tiny dict, captured by closure (broadcast with the task)
         idx_dir, cfg = index_dir, config
 
         def write_group(group: pa.Table) -> pa.Table:
-            pid = int(group["part_id"][0].as_py())
-            row = write_partition(group, idx_dir, cfg, fps_ref[pid])
+            row = write_partition(group, idx_dir, cfg)
             return pa.table({k: [v] for k, v in row.items()})
 
         results = (
@@ -214,7 +219,8 @@ def build_index(
         for p in dirty:
             if p not in part_rows:
                 part_rows[p] = {
-                    "fingerprint": fps[p], "n_docs": 0, "n_chunks": 0, "n_postings": 0,
+                    "fingerprint": fps[p] if fps else mf.fingerprint_of(0, 0),
+                    "n_docs": 0, "n_chunks": 0, "n_postings": 0,
                     "n_terms": 0, "total_tokens": 0, "bytes_postings": 0, "bytes_docs": 0,
                     "wall_s": 0.0, "docs_per_sec": None, "postings_per_sec": None,
                 }

@@ -61,7 +61,11 @@ def manifest_partitions(m: dict | None) -> dict[int, dict]:
     return {int(k): v for k, v in m.get("partitions", {}).items()}
 
 
-def fingerprint_of(n_docs: int, sha_sum: int, byte_sum: int) -> str:
-    """Cheap order-independent partition input fingerprint: doc count +
-    Σ sha256-prefix + Σ content bytes (ingest-level, pre-chunking)."""
-    return f"{n_docs}:{sha_sum & 0xFFFFFFFFFFFFFFFF:x}:{byte_sum & 0xFFFFFFFFFFFFFFFF:x}"
+def fingerprint_of(n_docs: int, sha_sum: int) -> str:
+    """Cheap order-independent partition input fingerprint over the
+    partition's non-empty docs: doc count + Σ sha256-prefix.  Empty docs
+    are excluded on purpose — they contribute nothing to the index, and
+    excluding them lets the partition writer recompute the identical
+    fingerprint from its chunk group (fresh builds then skip the
+    separate ingest fingerprint pass entirely)."""
+    return f"{n_docs}:{sha_sum & 0xFFFFFFFFFFFFFFFF:x}"

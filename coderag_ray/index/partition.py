@@ -172,13 +172,21 @@ def encode_partition_postings(
     )
 
 
-def write_partition(group: pa.Table, index_dir: str, config: IndexConfig,
-                    fingerprint: str) -> dict:
-    """Build + atomically write one partition; return its manifest row."""
+def write_partition(group: pa.Table, index_dir: str, config: IndexConfig) -> dict:
+    """Build + atomically write one partition; return its manifest row.
+
+    The partition input fingerprint is recomputed here from the group's
+    distinct docs (same formula as the resume-path ingest scan,
+    :func:`coderag_ray.index.manifest.fingerprint_of`), so fresh builds
+    need no separate fingerprint pass over the input.
+    """
     t0 = time.perf_counter()
     part_id = int(group["part_id"][0].as_py())
 
     import pyarrow.compute as pc
+
+    from coderag_ray.functions.hashing import sha_prefix_u32
+    from coderag_ray.index.manifest import fingerprint_of
 
     order = pc.sort_indices(
         group, sort_keys=[("doc_id", "ascending"), ("chunk_id", "ascending")]
@@ -186,6 +194,14 @@ def write_partition(group: pa.Table, index_dir: str, config: IndexConfig,
     g = group.take(order)
     n_chunks = g.num_rows
     dls = g["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    doc_ids_np = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    first_of_doc = np.empty(n_chunks, dtype=bool)
+    if n_chunks:
+        first_of_doc[0] = True
+        np.not_equal(doc_ids_np[1:], doc_ids_np[:-1], out=first_of_doc[1:])
+    doc_shas = g["content_sha256"].filter(pa.array(first_of_doc))
+    fingerprint = fingerprint_of(len(doc_shas), int(sha_prefix_u32(doc_shas).sum()))
 
     # explode term lists → (term, ordinal, freq)
     terms_list = g["terms"].combine_chunks() if isinstance(g["terms"], pa.ChunkedArray) else g["terms"]
@@ -227,8 +243,9 @@ def write_partition(group: pa.Table, index_dir: str, config: IndexConfig,
     os.makedirs(tmp_dir, exist_ok=True)
     pq.write_table(docs_tbl, os.path.join(tmp_dir, "docs.parquet"), **_PARQUET_OPTS)
     pq.write_table(chunks_tbl, os.path.join(tmp_dir, "chunks.parquet"), **_PARQUET_OPTS)
+    # small row groups → fine-grained term-range pruning at query time
     pq.write_table(postings, os.path.join(tmp_dir, "postings.parquet"),
-                   row_group_size=16384, **_PARQUET_OPTS)
+                   row_group_size=2048, **_PARQUET_OPTS)
     pq.write_table(termdf_tbl, os.path.join(tmp_dir, "termdf.parquet"), **_PARQUET_OPTS)
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)

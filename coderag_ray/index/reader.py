@@ -54,10 +54,44 @@ class IndexReader:
         self._part_cache: dict[int, PartitionHandle] = {}
         self._idf_cache: dict[str, tuple[int, float]] = {}
         self._idf_misses: set[str] = set()
+        # per-(part, term) posting-record LRU — the query-server analog of
+        # the reference's query-token/search caches (tfidf.ts:20-38,
+        # search-cache.ts:24-132); invalidation = new reader per index build
+        from collections import OrderedDict
+
+        self._post_cache: OrderedDict[tuple[int, str], dict | None] = OrderedDict()
+        self._post_cache_cap = 200_000
+        self._full_parts: set[int] = set()
+        self._preload_checked = False
+        self._bytes_postings = sum(
+            row.get("bytes_postings", 0) for row in mf.manifest_partitions(man).values()
+        )
 
     # -- global state ----------------------------------------------------
+    _IDF_FULL_LOAD_MAX = 5_000_000  # rows; above this, per-term pushdown only
+
     def idf_for_terms(self, terms: list[str]) -> dict[str, tuple[int, float]]:
-        """term → (df, idf) for the query's terms only (J3 broadcast lookup)."""
+        """term → (df, idf) for the query's terms only (J3 broadcast lookup).
+
+        Small vocabularies are loaded whole into the cache on first use;
+        beyond ``_IDF_FULL_LOAD_MAX`` rows the term-sorted parquet is
+        probed per query via predicate pushdown.
+        """
+        if not getattr(self, "_idf_checked_full", False):
+            self._idf_checked_full = True
+            idf_path = os.path.join(self.index_dir, "idf")
+            dataset = pads.dataset(idf_path, format="parquet")
+            if dataset.count_rows() <= self._IDF_FULL_LOAD_MAX:
+                tbl = dataset.to_table()
+                self._idf_cache = dict(
+                    zip(
+                        tbl["term"].to_pylist(),
+                        zip(tbl["df"].to_pylist(), tbl["idf"].to_pylist()),
+                    )
+                )
+                self._idf_full = True
+        if getattr(self, "_idf_full", False):
+            return {t: self._idf_cache[t] for t in terms if t in self._idf_cache}
         missing = [t for t in terms if t not in self._idf_cache and t not in self._idf_misses]
         if missing:
             idf_path = os.path.join(self.index_dir, "idf")
@@ -101,6 +135,34 @@ class IndexReader:
             h.paths = np.array(tbl["path"].to_pylist(), dtype=object)
         return h.paths
 
+    PRELOAD_MAX_BYTES = 512 << 20  # compressed; per query-server shard
+
+    def ensure_preloaded(self) -> bool:
+        """Pin all posting lists in RAM when the shard is small enough.
+
+        This is the query-server scale design: each scorer holds its
+        partition shard's postings in memory (Lucene/ES-style); the
+        row-group-pruned parquet path below remains the cold/oversized
+        fallback.  Returns True if fully resident.
+        """
+        if self._preload_checked:
+            return len(self._full_parts) == len(self.partitions)
+        self._preload_checked = True
+        if self._bytes_postings > self.PRELOAD_MAX_BYTES:
+            return False
+        for pid in self.partitions:
+            tbl = pq.read_table(os.path.join(self.part_dir(pid), "postings.parquet"))
+            for i in range(tbl.num_rows):
+                rec = {name: tbl[name][i].as_py() for name in
+                       ("term", "df_local", "doc_buf", "freq_buf")}
+                for name in ("block_last_ord", "block_max_freq", "block_min_dl",
+                             "block_doc_off", "block_freq_off"):
+                    rec[name] = np.asarray(tbl[name][i].as_py(), dtype=np.int64)
+                self._post_cache[(pid, rec["term"])] = rec
+            self._full_parts.add(pid)
+        self._post_cache_cap = max(self._post_cache_cap, len(self._post_cache) + 10_000)
+        return True
+
     def postings_for_terms(self, part_id: int, terms: list[str]) -> dict[str, dict]:
         """term → posting-list record (encoded buffers + block metadata).
 
@@ -109,18 +171,70 @@ class IndexReader:
         ``WHERE term IN (...)`` posting scan
         (storage-persistent.ts:715-740) without the candidate cap.
         """
-        path = os.path.join(self.part_dir(part_id), "postings.parquet")
-        dataset = pads.dataset(path, format="parquet")
-        tbl = dataset.to_table(filter=pc.field("term").isin(terms))
         out: dict[str, dict] = {}
-        for i in range(tbl.num_rows):
-            rec = {name: tbl[name][i].as_py() for name in
-                   ("term", "df_local", "doc_buf", "freq_buf")}
-            for name in ("block_last_ord", "block_max_freq", "block_min_dl",
-                         "block_doc_off", "block_freq_off"):
-                rec[name] = np.asarray(tbl[name][i].as_py(), dtype=np.int64)
-            out[rec["term"]] = rec
+        missing = []
+        for t in terms:
+            key = (part_id, t)
+            if key in self._post_cache:
+                self._post_cache.move_to_end(key)
+                rec = self._post_cache[key]
+                if rec is not None:
+                    out[t] = rec
+            elif part_id in self._full_parts:
+                continue  # fully resident: a cache miss means the term is absent
+            else:
+                missing.append(t)
+        if missing:
+            pf, rg_mins, rg_maxs = self._postings_file(part_id)
+            # postings.parquet is term-sorted → row-group statistics form
+            # sorted, disjoint term ranges; binary-search the groups that
+            # can contain each query term and read only those.
+            import bisect
+
+            rgs = sorted(
+                {
+                    i
+                    for t in missing
+                    for i in [bisect.bisect_right(rg_mins, t) - 1]
+                    if 0 <= i < len(rg_mins) and rg_mins[i] <= t <= rg_maxs[i]
+                }
+            )
+            found = set()
+            if rgs:
+                tbl = pf.read_row_groups(rgs)
+                tbl = tbl.filter(pc.field("term").isin(missing))
+                for i in range(tbl.num_rows):
+                    rec = {name: tbl[name][i].as_py() for name in
+                           ("term", "df_local", "doc_buf", "freq_buf")}
+                    for name in ("block_last_ord", "block_max_freq", "block_min_dl",
+                                 "block_doc_off", "block_freq_off"):
+                        rec[name] = np.asarray(tbl[name][i].as_py(), dtype=np.int64)
+                    out[rec["term"]] = rec
+                    found.add(rec["term"])
+                    self._post_cache[(part_id, rec["term"])] = rec
+            for t in missing:
+                if t not in found:
+                    self._post_cache[(part_id, t)] = None  # negative cache
+            while len(self._post_cache) > self._post_cache_cap:
+                self._post_cache.popitem(last=False)
         return out
+
+    def _postings_file(self, part_id: int):
+        """Cached ParquetFile + per-row-group (term_min, term_max) stats."""
+        cached = getattr(self, "_pf_cache", None)
+        if cached is None:
+            cached = self._pf_cache = {}
+        entry = cached.get(part_id)
+        if entry is None:
+            pf = pq.ParquetFile(os.path.join(self.part_dir(part_id), "postings.parquet"))
+            term_idx = pf.schema_arrow.get_field_index("term")
+            mins, maxs = [], []
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(term_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            entry = cached[part_id] = (pf, mins, maxs)
+        return entry
 
     def chunk_contents(self, part_id: int, ordinals: np.ndarray) -> list[str]:
         tbl = pq.read_table(

@@ -206,8 +206,14 @@ def search(
     filters: SearchFilters | None = None,
     with_doc_columns: bool = True,
     parallel: bool = False,
+    use_wand: bool = False,
 ) -> pa.Table:
-    """Top-k BM25 search; returns an Arrow table of ranked results."""
+    """Top-k BM25 search; returns an Arrow table of ranked results.
+
+    ``use_wand=True`` routes each partition through block-max WAND
+    (:mod:`coderag_ray.query.wand`) — identical results, skip-based
+    pruning (not compatible with ``filters``, which need exhaustive
+    candidate sets)."""
     reader = index if isinstance(index, IndexReader) else IndexReader(index)
     tokens = dedupe_query_tokens(tokenize(query, reader.config.tokenizer))
     if not tokens or reader.n_chunks == 0:
@@ -217,8 +223,18 @@ def search(
     idf_map = reader.idf_for_terms(tokens)
     if not idf_map:
         return _empty_result()
+    reader.ensure_preloaded()
 
-    if parallel and len(reader.partitions) > 1:
+    if use_wand:
+        from coderag_ray.query.wand import wand_topk
+
+        if filters is not None:
+            raise ValueError("use_wand does not support result filters")
+        parts = []
+        for pid in reader.partitions:
+            r = wand_topk(reader, pid, tokens, idf_map, k, min_score)
+            parts.append((pid, r.ordinals, r.scores, r.matched))
+    elif parallel and len(reader.partitions) > 1:
         import ray
 
         @ray.remote

@@ -1,0 +1,69 @@
+"""Block-max WAND: exact equivalence with exhaustive scoring on every
+reference query, plus evidence that it actually skips work."""
+
+import numpy as np
+import pytest
+
+from coderag_ray.config import IndexConfig
+from coderag_ray.corpus import make_corpus
+from coderag_ray.index.build import build_index
+from coderag_ray.index.reader import IndexReader
+from coderag_ray.query.search import dedupe_query_tokens, search
+from coderag_ray.query.wand import wand_topk
+from coderag_ray.functions.tokenizer import tokenize
+
+QUERIES = [
+    "user", "user authentication", "authenticate user", "database connection",
+    "getUserById", "validate credentials password", "self return function",
+    "mergeSortedRuns posting_list", "const import export class",
+    "nonexistent_term_xyz", "handleRequest parse query",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data
+
+    corpus = make_corpus(n_docs=300, seed=21)
+    d = str(tmp_path_factory.mktemp("wandidx"))
+    build_index(ray.data.from_arrow(corpus), d, IndexConfig(num_partitions=4))
+    return d
+
+
+def test_wand_equals_exhaustive(built):
+    reader = IndexReader(built)
+    sem = ["rank", "doc_id", "chunk_id", "score", "matched_terms"]
+    for q in QUERIES:
+        for k in (1, 3, 10, 100):
+            a = search(reader, q, k, with_doc_columns=False).select(sem)
+            b = search(reader, q, k, with_doc_columns=False, use_wand=True).select(sem)
+            assert a.equals(b), f"q={q!r} k={k}"
+
+
+def test_wand_min_score_equals_exhaustive(built):
+    reader = IndexReader(built)
+    sem = ["rank", "doc_id", "chunk_id", "score"]
+    for ms in (0.5, 2.0, 5.0):
+        a = search(reader, "self return function", 20,
+                   min_score=ms, with_doc_columns=False).select(sem)
+        b = search(reader, "self return function", 20,
+                   min_score=ms, with_doc_columns=False, use_wand=True).select(sem)
+        assert a.equals(b), ms
+
+
+def test_wand_skips_work_on_selective_query(built):
+    """A rare term + hot terms with small k: WAND must evaluate far fewer
+    docs than the number of matching postings."""
+    reader = IndexReader(built)
+    tokens = dedupe_query_tokens(tokenize("self return function const import", reader.config.tokenizer))
+    idf_map = reader.idf_for_terms(tokens)
+    reader.ensure_preloaded()
+    total_scored = 0
+    total_matching = 0
+    for pid in reader.partitions:
+        r = wand_topk(reader, pid, tokens, idf_map, k=3)
+        total_scored += r.docs_scored
+        total_matching += r.docs_total_matching
+    assert total_matching > 0
+    # hot terms match nearly every chunk; with k=3 WAND should prune hard
+    assert total_scored < total_matching * 0.8, (total_scored, total_matching)
