@@ -1,0 +1,53 @@
+"""Deterministic mock embedding provider (ST3).
+
+Mirrors the reference's offline fallback ``generateMockEmbedding``
+(``/root/reference/packages/core/src/embeddings.ts:42-65``): a 32-bit
+JS rolling hash of the text seeds ``(sin(seed) + cos(seed*0.5)) / 2``
+per dimension, then unit-normalization.  Exactly reproduced here
+(int32-wrapped ``h*31 + charCode`` like ``Math.imul``) so an index
+built by either engine embeds identically.
+
+A real model provider drops into the same actor-pool stage shape
+(``EmbedStage`` — load in ``__init__``, batch in ``__call__``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_DIMENSIONS = 64  # reference default is 1536 (embeddings.ts:101); kept small offline
+
+
+def js_string_hash(text: str) -> int:
+    """32-bit JS rolling hash over UTF-16 code units:
+    ``h = (Math.imul(31, h) + charCodeAt(i)) | 0`` — embeddings.ts:44-50."""
+    h = 0
+    units = np.frombuffer(text.encode("utf-16-le"), dtype="<u2")
+    for c in units.tolist():
+        h = (31 * h + c) & 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def mock_embedding(text: str, dimensions: int = DEFAULT_DIMENSIONS) -> np.ndarray:
+    base = js_string_hash(text)
+    seeds = base + np.arange(dimensions, dtype=np.float64)
+    v = (np.sin(seeds) + np.cos(seeds * 0.5)) / 2.0
+    mag = np.sqrt((v * v).sum())
+    return v / mag if mag > 0 else v
+
+
+class EmbedStage:
+    """Actor-pool ``map_batches`` stage: text column → embedding list column."""
+
+    def __init__(self, dimensions: int = DEFAULT_DIMENSIONS, text_col: str = "content"):
+        self.dimensions = dimensions
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        embs = np.stack([
+            mock_embedding(x or "", self.dimensions) for x in t[self.text_col].to_pylist()
+        ])
+        return t.append_column(
+            "embedding", pa.array(list(embs), type=pa.list_(pa.float64()))
+        )

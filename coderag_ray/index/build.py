@@ -68,6 +68,7 @@ class BuildReport:
     dirty_partitions: int
     wall_s: float
     docs_per_sec: float
+    phases: dict | None = None  # phase → seconds
 
 
 def _fingerprints(ingest_ds, num_partitions: int) -> dict[int, str]:
@@ -169,6 +170,15 @@ def build_index(
     # ---- pass 1 (resume only): fingerprints → dirty set ----------------
     # Fresh builds skip this input scan entirely; partition writers
     # self-compute the identical fingerprints for the manifest.
+    phases: dict[str, float] = {}
+    t_ph = time.perf_counter()
+
+    def _phase(name: str) -> None:
+        nonlocal t_ph
+        now = time.perf_counter()
+        phases[name] = round(now - t_ph, 3)
+        t_ph = now
+
     manifest_obj = mf.load_manifest(index_dir) if resume else None
     if manifest_obj is not None and manifest_obj.get("config") != config.to_dict():
         manifest_obj = None  # config change invalidates everything
@@ -189,6 +199,7 @@ def build_index(
     else:
         fps = None
         dirty = list(range(config.num_partitions))
+    _phase("fingerprints")
 
     part_rows: dict[int, dict] = {p: old[p] for p in old if p not in dirty}
 
@@ -212,6 +223,7 @@ def build_index(
             .map_groups(write_group, batch_format="pyarrow")
             .take_all()
         )
+        _phase("tokenize_shuffle_write")
         for row in results:
             part_rows[int(row["part_id"])] = {k: v for k, v in row.items() if k != "part_id"}
         # dirty partitions that ended up with zero chunks (only empty/filtered
@@ -237,6 +249,7 @@ def build_index(
 
     if dirty or not os.path.exists(os.path.join(index_dir, "idf")):
         _build_idf(index_dir, part_rows, n_chunks)
+    _phase("idf")
 
     mf.save_manifest(index_dir, SCHEMA_VERSION, config.to_dict(), part_rows)
     mf.save_meta(
@@ -263,4 +276,5 @@ def build_index(
         dirty_partitions=len(dirty),
         wall_s=round(wall, 3),
         docs_per_sec=round(n_docs / wall, 2) if wall > 0 else 0.0,
+        phases=phases,
     )

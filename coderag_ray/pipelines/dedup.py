@@ -105,21 +105,70 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
     """
     shingles = docs_ds.map_batches(lambda t: shingle_batch(t, n), batch_format="pyarrow")
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if max_shingle_df is not None and len(ids) > max_shingle_df:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        """Hash-bucket shingles so pair expansion runs over ~B large
+        groups instead of one Python call per distinct shingle."""
+        import zlib
 
-    from ray.data.aggregate import Count
+        b = np.array(
+            [zlib.crc32(s.encode("utf-8")) & 0x3F for s in t["shingle"].to_pylist()],
+            dtype=np.int32,
+        )
+        return t.append_column("bucket", pa.array(b))
 
-    pair_counts = (
-        shingles.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_common"))
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-shingle pair expansion: sort by shingle, take
+        # run lengths, emit all within-run index pairs with numpy only
+        codes, _ = pd.factorize(g["shingle"], sort=False)
+        order = np.lexsort((g["doc_id"].to_numpy(), codes))
+        ids = g["doc_id"].to_numpy()[order]
+        codes = codes[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, len(codes)])
+        if max_shingle_df is not None:
+            keep_run = lens <= max_shingle_df
+            starts, lens = starts[keep_run], lens[keep_run]
+        out_a, out_b = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            runs = starts[lens == ln]  # all runs of this length, together
+            idx = runs[:, None] + np.arange(ln)[None, :]
+            block = ids[idx]  # [n_runs, ln]
+            ai, bi = np.triu_indices(int(ln), k=1)
+            out_a.append(block[:, ai].ravel())
+            out_b.append(block[:, bi].ravel())
+        if not out_a:
+            return pd.DataFrame({"pair_key": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        # pre-aggregate within the bucket and pack (a, b) into one int64
+        # key — Ray's single-key Sum groupby is far cheaper than a
+        # two-key aggregate over the raw pair stream
+        key = np.concatenate(out_a) * (1 << 31) + np.concatenate(out_b)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"pair_key": uniq.astype(np.int64), "cnt": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Count, Sum
+
+    pair_key_counts = (
+        shingles.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .groupby("pair_key")
+        .aggregate(Sum("cnt", alias_name="n_common"))
     )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        key = t["pair_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(key >> 31),
+                "doc_b": pa.array(key & ((1 << 31) - 1)),
+                "n_common": pc.cast(t["n_common"], pa.int64()),
+            }
+        )
+
+    pair_counts = pair_key_counts.map_batches(unpack, batch_format="pyarrow")
     sizes = (
         shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
     )

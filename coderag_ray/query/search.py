@@ -77,8 +77,11 @@ def _partition_scores(
         rec = postings.get(tok)
         if rec is None:
             continue
-        ords = varint.decode_deltas(rec["doc_buf"]).astype(np.int64)
-        freqs = varint.decode(rec["freq_buf"]).astype(np.float64)
+        ords = rec.get("_ords")
+        if ords is None:
+            ords = rec["_ords"] = varint.decode_deltas(rec["doc_buf"]).astype(np.int64)
+            rec["_freqs"] = varint.decode(rec["freq_buf"]).astype(np.float64)
+        freqs = rec["_freqs"]
         idf = idf_map[tok][1]
         scores[ords] += bm25_term_score(freqs, idf, dls_eff[ords], reader.avgdl)
         matched[ords] |= 1 << qi

@@ -1,0 +1,188 @@
+"""Pipeline tests over the driver's sf0.001 tables: dedup family,
+similarity, events windows, multimodal stub, text analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_finds_injected_dups(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import exact_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["same text", "same text", "other", "same text"],
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(out) == 2
+    dup = out[out.n_copies == 3].iloc[0]
+    assert dup.keeper_doc_id == 1
+
+
+def test_ngram_jaccard_identical_docs_score_one(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["a b c d e f", "a b c d e f", "x y z w q r"],
+        }
+    )
+    out = ngram_jaccard_pairs(ray.data.from_arrow(tbl), top=10).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0].doc_a, out.iloc[0].doc_b, out.iloc[0].jaccard) == (1, 2, 1.0)
+
+
+def test_minhash_finds_near_duplicates(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(58)) + " zz1 zz2"
+    other = " ".join(f"v{i}" for i in range(60))
+    tbl = pa.table(
+        {"doc_id": pa.array([10, 20, 30], type=pa.int64()),
+         "text": [base, near, other]}
+    )
+    out = minhash_lsh_pairs(ray.data.from_arrow(tbl), jaccard_threshold=0.5).to_pandas()
+    assert (10, 20) in set(zip(out.doc_a, out.doc_b))
+    assert not any(30 in p for p in zip(out.doc_a, out.doc_b))
+
+
+def test_simhash_similar_docs_close_hamming(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import simhash_table
+
+    base = " ".join(f"w{i}" for i in range(100))
+    near = " ".join(f"w{i}" for i in range(99)) + " different"
+    other = " ".join(f"v{i}" for i in range(100))
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2, 3], type=pa.int64()), "text": [base, near, other]}
+    )
+    out = simhash_table(ray.data.from_arrow(tbl)).to_pandas().set_index("doc_id")
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(out.loc[1].simhash, out.loc[2].simhash) < ham(out.loc[1].simhash, out.loc[3].simhash)
+    # determinism
+    out2 = simhash_table(ray.data.from_arrow(tbl)).to_pandas().set_index("doc_id")
+    assert (out.simhash == out2.simhash).all()
+
+
+def test_knn_self_similarity_excluded_and_sorted(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.similarity import knn_bruteforce
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    out = knn_bruteforce(emb, [0, 1, 2], k=4).to_pandas()
+    assert set(out.query_id) == {0, 1, 2}
+    for q, grp in out.groupby("query_id"):
+        assert len(grp) == 4
+        assert q not in set(grp.vec_id)
+        sims = grp.cos_sim.to_numpy()
+        assert (np.diff(sims) <= 1e-12).all()
+
+
+def test_lsh_knn_subset_of_bruteforce_space(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.similarity import lsh_knn
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    out = lsh_knn(emb, [0, 1, 2, 3, 4], k=3).to_pandas()
+    # approximate: returns plausible neighbors with fewer scans than N
+    if len(out):
+        assert (out.n_scanned < 500).all()
+
+
+def test_tumbling_window_totals(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.events import tumbling_window
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    out = tumbling_window(ev).to_pandas()
+    assert out.n_events.sum() == 1000  # every event in exactly one window
+    assert (out.window_start % 3600 == 0).all()
+
+
+def test_session_windows_gap_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from coderag_ray.pipelines.events import session_windows
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:10:00",  # same session
+         "2024-01-01 01:30:00",  # gap > 30min → new session
+         "2024-01-01 01:40:00"]
+    ).astype("datetime64[us]")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array([7, 7, 7, 7], type=pa.int64()),
+        }
+    )
+    out = session_windows(ray.data.from_arrow(tbl)).to_pandas().sort_values("session_id")
+    assert list(out.n_events) == [2, 2]
+    assert list(out.session_id) == [0, 1]
+
+
+def test_media_features_deterministic_fake(ray_session):
+    from coderag_ray.pipelines.multimodal import MediaFeatureStage, decode_image
+
+    t = pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()), "payload": pa.array([b"hello world"])}
+    )
+    out = MediaFeatureStage()(t)
+    assert out["n_bytes"][0].as_py() == 11
+    assert out["fake_width"][0].as_py() == 12
+    import hashlib
+
+    assert out["payload_sha256"][0].as_py() == hashlib.sha256(b"hello world").hexdigest()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_langid_cjk_and_profiles(ray_session):
+    from coderag_ray.pipelines.text_analysis import LangIdStage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["the cat and the dog is here", "der hund und die katze ist",
+                     "你好世界", "qwerty zxcvb"],
+        }
+    )
+    out = LangIdStage()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "zh", "und"]
+
+
+def test_mock_embedding_matches_reference_semantics():
+    from coderag_ray.functions.embeddings import js_string_hash, mock_embedding
+
+    # JS parity: hash("abc") = 96354 (31*31*97 + 31*98 + 99)
+    assert js_string_hash("abc") == 96354
+    assert js_string_hash("") == 0
+    v = mock_embedding("hello", 64)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+    assert np.array_equal(v, mock_embedding("hello", 64))  # deterministic
