@@ -55,7 +55,8 @@ def cmd_search(args) -> int:
             path_filter=args.path,
             exclude_paths=args.exclude or None,
         )
-    res = search(reader, args.query, args.k, filters=filters, use_wand=args.wand)
+    res = search(reader, args.query, args.k, filters=filters, use_wand=args.wand,
+                 mode=args.mode)
     if args.json:
         print(json.dumps(res.to_pylist(), default=str))
         return 0
@@ -107,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--path")
     s.add_argument("--exclude", action="append")
     s.add_argument("--wand", action="store_true")
+    s.add_argument("--mode", default="bm25", choices=["bm25", "cosine"])
     s.add_argument("--json", action="store_true")
     s.set_defaults(fn=cmd_search)
 

@@ -39,6 +39,7 @@ class IndexConfig:
     """
 
     tokenizer: str = "code"  # "code" (camelCase/snake split) | "simple" (tfidf fallback regex)
+    chunker: str = "chars"  # "chars" (reference fallback windows) | "lines" (AST stand-in)
     max_chunk_size: int = 1000  # chars — embeddings.ts:266
     chunk_overlap: int = 100  # chars — embeddings.ts:267
     max_file_size: int = 1024 * 1024  # bytes — indexer.ts:100
@@ -46,6 +47,7 @@ class IndexConfig:
     k1: float = BM25_K1
     b: float = BM25_B
     posting_block: int = POSTING_BLOCK
+    store_magnitudes: bool = True  # per-chunk TF-IDF magnitudes (cosine mode, A3)
     # Ray execution knobs
     batch_size: int = 1024  # rows per map_batches batch in the build stages
     extra: dict[str, Any] = field(default_factory=dict)

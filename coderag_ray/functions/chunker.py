@@ -48,6 +48,48 @@ def chunk_text(text: str, max_chunk_size: int = 1000, overlap: int = 100) -> lis
     return [text[s:e] for s, e in chunk_offsets(len(text), max_chunk_size, overlap)]
 
 
+def chunk_lines(text: str, max_chunk_size: int = 1000) -> list[tuple[int, int, int, int]]:
+    """Line-aware chunker — the deterministic stand-in for the
+    reference's AST chunking (``ast-chunking.ts:183-225``; tree-sitter
+    is unavailable offline).  Greedily packs whole lines into chunks of
+    at most ``max_chunk_size`` chars, preferring to break after blank
+    lines (the reference's AST path also breaks at declaration
+    boundaries); a single oversize line becomes its own chunk
+    (guaranteed forward progress).  Returns
+    ``[(start_offset, end_offset, start_line, end_line)]`` with 1-based
+    line numbers like the reference's AST chunks (``ast-chunking.ts:76-80``).
+    """
+    if not text:
+        return []
+    # line spans including the trailing newline (so chunks reassemble)
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    while pos <= len(text) - 1:
+        nl = text.find("\n", pos)
+        end = len(text) if nl < 0 else nl + 1
+        spans.append((pos, end))
+        if nl < 0:
+            break
+        pos = end
+    out = []
+    i = 0
+    while i < len(spans):
+        start = spans[i][0]
+        start_line = i + 1
+        j = i
+        last_blank = -1
+        while j < len(spans) and (spans[j][1] - start <= max_chunk_size or j == i):
+            if text[spans[j][0] : spans[j][1]].strip() == "":
+                last_blank = j
+            j += 1
+        # prefer a blank-line break if it keeps the chunk at least half full
+        if j < len(spans) and last_blank > i and (spans[last_blank][1] - start) * 2 >= max_chunk_size:
+            j = last_blank + 1
+        out.append((start, spans[j - 1][1], start_line, j))
+        i = j
+    return out
+
+
 def batch_chunk_offsets(
     n_chars: np.ndarray, max_chunk_size: int = 1000, overlap: int = 100
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

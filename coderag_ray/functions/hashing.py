@@ -52,6 +52,27 @@ def part_for_doc(doc_id: np.ndarray | int, num_partitions: int):
     return out.astype(np.int64) if isinstance(doc_id, np.ndarray) else int(out)
 
 
+def simple_hash(text: str) -> str:
+    """The reference's 32-bit rolling change-detection hash in base 36
+    (``utils.ts:311-319``: ``h = (h<<5) - h + c`` int32-wrapped, then
+    ``Math.abs(h).toString(36)``).  Kept for API completeness; the
+    engine's content identity is sha256 (north-rule invariant)."""
+    h = 0
+    for u in np.frombuffer(text.encode("utf-16-le"), dtype="<u2").tolist():
+        h = ((h << 5) - h + u) & 0xFFFFFFFF
+    if h >= 0x80000000:
+        h -= 0x100000000
+    h = abs(h)
+    if h == 0:
+        return "0"
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    out = []
+    while h:
+        h, r = divmod(h, 36)
+        out.append(digits[r])
+    return "".join(reversed(out))
+
+
 def stable_doc_id(repo: str, path: str, commit: str) -> int:
     """Deterministic positive int64 doc id from the identity triple.
 

@@ -247,9 +247,11 @@ def build_index(
     total_tokens = sum(r.get("total_tokens", 0) for r in part_rows.values())
     avgdl = avg_doc_length(total_tokens, n_chunks)
 
-    if dirty or not os.path.exists(os.path.join(index_dir, "idf")):
+    idf_rebuilt = dirty or not os.path.exists(os.path.join(index_dir, "idf"))
+    if idf_rebuilt:
         _build_idf(index_dir, part_rows, n_chunks)
     _phase("idf")
+
 
     mf.save_manifest(index_dir, SCHEMA_VERSION, config.to_dict(), part_rows)
     mf.save_meta(
@@ -264,6 +266,20 @@ def build_index(
             "avgdl": avgdl,
         },
     )
+    if config.store_magnitudes and n_chunks > 0:
+        from coderag_ray.index.magnitudes import MAGNITUDES_FILE, build_magnitudes
+
+        missing = any(
+            row.get("n_chunks", 0) > 0
+            and not os.path.exists(os.path.join(parts_root, f"part={p:05d}", MAGNITUDES_FILE))
+            for p, row in part_rows.items()
+        )
+        if idf_rebuilt or missing:
+            # global idf changed → every partition's magnitudes are stale
+            # (the reference's incremental path also recalculates TF-IDF
+            # globally, storage-persistent.ts:1033-1062); one task per partition
+            build_magnitudes(index_dir)
+    _phase("magnitudes")
     wall = time.perf_counter() - t0
     return BuildReport(
         index_dir=index_dir,

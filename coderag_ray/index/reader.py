@@ -34,6 +34,7 @@ class PartitionHandle:
     chunk_ids: np.ndarray    # [n_local] int64
     dls: np.ndarray          # [n_local] int64 token counts
     paths: np.ndarray | None = None  # lazily loaded for result filters
+    magnitudes: np.ndarray | None = None  # lazily loaded for cosine mode
 
     @property
     def n_chunks(self) -> int:
@@ -162,6 +163,21 @@ class IndexReader:
             self._full_parts.add(pid)
         self._post_cache_cap = max(self._post_cache_cap, len(self._post_cache) + 10_000)
         return True
+
+    def partition_magnitudes(self, part_id: int) -> np.ndarray:
+        """Per-chunk TF-IDF magnitudes (cosine mode); built by
+        :func:`coderag_ray.index.magnitudes.build_magnitudes`."""
+        h = self.partition(part_id)
+        if h.magnitudes is None:
+            path = os.path.join(self.part_dir(part_id), "magnitudes.parquet")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"no magnitudes in partition {part_id}; build with "
+                    "store_magnitudes=True or run build_magnitudes()"
+                )
+            tbl = pq.read_table(path, columns=["magnitude"])
+            h.magnitudes = tbl["magnitude"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return h.magnitudes
 
     def postings_for_terms(self, part_id: int, terms: list[str]) -> dict[str, dict]:
         """term → posting-list record (encoded buffers + block metadata).

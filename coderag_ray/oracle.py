@@ -104,5 +104,45 @@ class OracleIndex:
         results.sort(key=lambda r: (-r[2], r[0], r[1]))
         return results[:k]
 
+    def search_cosine(self, query: str, k: int = 10, min_score: float = 0.0):
+        """Cosine-similarity ranking — tfidf.ts:160-212 semantics:
+        vectors are tfidf = (rawFreq/totalTerms) * idf; cos = dot/( |q||d| ),
+        0 when either magnitude is 0; same frozen tie-break."""
+        all_toks = tokenize(query, self.config.tokenizer)
+        uniq = list(dict.fromkeys(all_toks))
+        if not uniq or not self.chunks:
+            return []
+        total = float(len(all_toks))
+        counts = Counter(all_toks)
+        idf = {t: self.idf(t) if self.df[t] > 0 else 0.0 for t in uniq}
+        q_vec = {t: (counts[t] / total) * idf[t] for t in uniq}
+        import math
+
+        qmag = math.sqrt(sum(v * v for v in q_vec.values()))
+        results = []
+        for c in self.chunks:
+            matched = [t for t in uniq if t in c.tf]
+            if not matched:
+                continue
+            dl = max(c.token_count, 1)
+            # sorted term order matches the engine's term-sorted postings
+            # accumulation → bitwise-equal magnitudes (ASCII terms: python
+            # str order == Arrow UTF-8 byte order)
+            dmag_sq = 0.0
+            for t in sorted(c.tf):
+                v = (c.tf[t] / dl) * self.idf(t)
+                dmag_sq += v * v
+            dmag = math.sqrt(dmag_sq)
+            dot = 0.0
+            for t in uniq:  # query-vector order
+                if t in c.tf and q_vec[t] != 0.0:
+                    dot += q_vec[t] * ((c.tf[t] / dl) * idf[t])
+            score = dot / (qmag * dmag) if qmag > 0 and dmag > 0 else 0.0
+            if score < min_score:
+                continue
+            results.append((c.doc_id, c.chunk_id, score, matched))
+        results.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return results[:k]
+
     def term_df_table(self) -> dict[str, int]:
         return dict(self.df)

@@ -100,6 +100,77 @@ def _partition_scores(
     return cand, scores[cand], matched[cand]
 
 
+def build_query_vector(
+    query: str, reader: IndexReader
+) -> tuple[list[str], dict[str, float], float]:
+    """Query TF-IDF vector + magnitude — tfidf.ts:160-175 semantics:
+    tf = rawFreq / totalQueryTokens, tfidf = tf * idf (missing idf → 0),
+    magnitude over all query terms.  Returns (unique_tokens_in_order,
+    q_tfidf, q_magnitude)."""
+    all_toks = tokenize(query, reader.config.tokenizer)
+    uniq = dedupe_query_tokens(all_toks)
+    if not uniq:
+        return [], {}, 0.0
+    total = float(len(all_toks))
+    idf_map = reader.idf_for_terms(uniq)
+    counts: dict[str, int] = {}
+    for t in all_toks:
+        counts[t] = counts.get(t, 0) + 1
+    q_tfidf = {
+        t: (counts[t] / total) * (idf_map[t][1] if t in idf_map else 0.0) for t in uniq
+    }
+    qmag = float(np.sqrt(np.sum(np.array([q_tfidf[t] for t in uniq]) ** 2)))
+    return uniq, q_tfidf, qmag
+
+
+def _partition_scores_cosine(
+    reader: IndexReader,
+    part_id: int,
+    tokens: list[str],
+    q_tfidf: dict[str, float],
+    qmag: float,
+    filters: SearchFilters | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cosine-similarity scoring of one partition — tfidf.ts:191-212:
+    cos = Σ_t q_tfidf[t] * doc_tfidf[t] / (|q| * |d|), 0 when either
+    magnitude is 0; doc_tfidf = (rawFreq/dl) * idf."""
+    h = reader.partition(part_id)
+    idf_map = reader.idf_for_terms(tokens)
+    postings = reader.postings_for_terms(part_id, [t for t in tokens if t in idf_map])
+    mags = reader.partition_magnitudes(part_id)
+    dot = np.zeros(h.n_chunks, dtype=np.float64)
+    matched = np.zeros(h.n_chunks, dtype=np.int64)
+    dls_safe = np.maximum(h.dls, 1).astype(np.float64)
+    for qi, tok in enumerate(tokens):
+        rec = postings.get(tok)
+        if rec is None or q_tfidf.get(tok, 0.0) == 0.0:
+            continue
+        ords = rec.get("_ords")
+        if ords is None:
+            ords = rec["_ords"] = varint.decode_deltas(rec["doc_buf"]).astype(np.int64)
+            rec["_freqs"] = varint.decode(rec["freq_buf"]).astype(np.float64)
+        freqs = rec["_freqs"]
+        doc_tfidf = (freqs / dls_safe[ords]) * idf_map[tok][1]
+        dot[ords] += q_tfidf[tok] * doc_tfidf
+        matched[ords] |= 1 << qi
+
+    cand = np.flatnonzero(matched)
+    denom = qmag * mags[cand]
+    scores = np.where(denom > 0, dot[cand] / np.where(denom > 0, denom, 1.0), 0.0)
+    if len(cand) and filters is not None:
+        paths = reader.partition_paths(part_id)[cand]
+        keep = np.ones(len(cand), dtype=bool)
+        if filters.file_extensions:
+            keep &= np.array([any(p.endswith(e) for e in filters.file_extensions) for p in paths])
+        if filters.path_filter:
+            keep &= np.array([filters.path_filter in p for p in paths])
+        if filters.exclude_paths:
+            keep &= np.array([not any(x in p for x in filters.exclude_paths) for p in paths])
+        m = matched[cand][keep]
+        return cand[keep], scores[keep], m
+    return cand, scores, matched[cand]
+
+
 def _topk_merge(
     parts: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]],
     reader: IndexReader,
@@ -210,6 +281,7 @@ def search(
     with_doc_columns: bool = True,
     parallel: bool = False,
     use_wand: bool = False,
+    mode: str = "bm25",
 ) -> pa.Table:
     """Top-k BM25 search; returns an Arrow table of ranked results.
 
@@ -228,6 +300,15 @@ def search(
         return _empty_result()
     reader.ensure_preloaded()
 
+    if mode == "cosine":
+        uniq, q_tfidf, qmag = build_query_vector(query, reader)
+        parts = [
+            (pid, *_partition_scores_cosine(reader, pid, uniq, q_tfidf, qmag, filters))
+            for pid in reader.partitions
+        ]
+        return _finish(parts, reader, uniq, k, min_score, with_doc_columns)
+    if mode != "bm25":
+        raise ValueError(f"unknown mode {mode!r}")
     if use_wand:
         from coderag_ray.query.wand import wand_topk
 
@@ -256,6 +337,10 @@ def search(
             (pid, *_partition_scores(reader, pid, tokens, idf_map, filters))
             for pid in reader.partitions
         ]
+    return _finish(parts, reader, tokens, k, min_score, with_doc_columns)
+
+
+def _finish(parts, reader, tokens, k, min_score, with_doc_columns) -> pa.Table:
     result = _topk_merge(parts, reader, tokens, k, min_score)
     if with_doc_columns and result.num_rows:
         result = attach_doc_columns(result, reader)

@@ -35,6 +35,10 @@ CHUNK_COLUMNS = ["doc_id", "part_id", "chunk_id", "chunk_type", "start_line", "e
 
 
 def make_chunker(config: IndexConfig):
+    if config.chunker == "lines":
+        return _make_line_chunker(config)
+    if config.chunker != "chars":
+        raise ValueError(f"unknown chunker {config.chunker!r}")
     size, overlap = config.max_chunk_size, config.chunk_overlap
 
     def chunk(t: pa.Table) -> pa.Table:
@@ -56,6 +60,52 @@ def make_chunker(config: IndexConfig):
                 "chunk_type": pa.array(["text"] * n, type=pa.string()),
                 "start_line": pa.array(np.zeros(n, dtype=np.int32)),
                 "end_line": pa.array(np.zeros(n, dtype=np.int32)),
+                "start_offset": pa.array(start),
+                "end_offset": pa.array(end),
+                "n_chunk_chars": pa.array(end - start),
+                "content": text_arr,
+                "chunk_sha256": batch_sha256(text_arr),
+                "content_sha256": t["content_sha256"].take(take),
+                "repo": t["repo"].take(take),
+                "path": t["path"].take(take),
+                "commit": t["commit"].take(take),
+                "lang": t["lang"].take(take),
+            }
+        )
+
+    return chunk
+
+
+def _make_line_chunker(config: IndexConfig):
+    from coderag_ray.functions.chunker import chunk_lines
+
+    size = config.max_chunk_size
+
+    def chunk(t: pa.Table) -> pa.Table:
+        contents = t["content"].to_pylist()
+        cols: dict[str, list] = {c: [] for c in
+                                 ("doc_idx", "chunk_id", "start", "end", "sl", "el", "text")}
+        for di, c in enumerate(contents):
+            for ci, (s, e, sl, el) in enumerate(chunk_lines(c, size)):
+                cols["doc_idx"].append(di)
+                cols["chunk_id"].append(ci)
+                cols["start"].append(s)
+                cols["end"].append(e)
+                cols["sl"].append(sl)
+                cols["el"].append(el)
+                cols["text"].append(c if (s == 0 and e == len(c)) else c[s:e])
+        take = pa.array(np.array(cols["doc_idx"], dtype=np.int64))
+        text_arr = pa.array(cols["text"], type=pa.string())
+        start = np.array(cols["start"], dtype=np.int64)
+        end = np.array(cols["end"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(take),
+                "part_id": t["part_id"].take(take),
+                "chunk_id": pa.array(np.array(cols["chunk_id"], dtype=np.int64)),
+                "chunk_type": pa.array(["code"] * len(text_arr), type=pa.string()),
+                "start_line": pa.array(np.array(cols["sl"], dtype=np.int32)),
+                "end_line": pa.array(np.array(cols["el"], dtype=np.int32)),
                 "start_offset": pa.array(start),
                 "end_offset": pa.array(end),
                 "n_chunk_chars": pa.array(end - start),
