@@ -125,8 +125,12 @@ def _build_idf(index_dir: str, part_rows: dict[int, dict], n_chunks_total: int) 
             os.path.join(tmp_dir, "idf.parquet"),
         )
     else:
+        from coderag_ray.stages.bucket_agg import bucketed_groupby_sum
+
         ds = ray.data.read_parquet(files)
-        agg = ds.groupby("term").aggregate(Sum("df_local", alias_name="df"))
+        # bucketed merge: vocabulary cardinality grows with the corpus, so
+        # the declarative per-group aggregate would be Python-bound
+        agg = bucketed_groupby_sum(ds, "term", "df_local", "df", num_buckets=64)
 
         def add_idf(t: pa.Table) -> pa.Table:
             df = t["df"].to_numpy(zero_copy_only=False)

@@ -148,14 +148,15 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
         uniq, cnt = np.unique(key, return_counts=True)
         return pd.DataFrame({"pair_key": uniq.astype(np.int64), "cnt": cnt.astype(np.int64)})
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
-    pair_key_counts = (
+    from coderag_ray.stages.bucket_agg import bucketed_groupby_sum
+
+    pair_key_counts = bucketed_groupby_sum(
         shingles.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs_of_bucket, batch_format="pandas")
-        .groupby("pair_key")
-        .aggregate(Sum("cnt", alias_name="n_common"))
+        .map_groups(pairs_of_bucket, batch_format="pandas"),
+        "pair_key", "cnt", "n_common", num_buckets=64,
     )
 
     def unpack(t: pa.Table) -> pa.Table:
