@@ -28,7 +28,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("CODERAG_BENCH_DOCS", "20000"))
+BENCH_DOCS = int(os.environ.get("CODERAG_BENCH_DOCS", "60000"))
+BENCH_PARTITIONS = int(os.environ.get("CODERAG_BENCH_PARTITIONS", "64"))
 CORPUS_SEED = 42
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -92,12 +93,22 @@ def run_bench() -> dict:
     results: dict[str, float] = {}
 
     corpus_path = ensure_bench_corpus(BENCH_DOCS)
-    # warm the page cache so we measure compute+shuffle, not first disk read
-    ray.data.read_parquet(corpus_path).count()
+    # warm-up: page cache AND the full worker pool (spawn + library import
+    # in every worker) so the timed build measures compute+shuffle, not
+    # cold start — same treatment at every parallelism level
+    def _touch(t):
+        import coderag_ray  # noqa: F401  (import cost paid here, once per worker)
+
+        return t
+
+    ray.data.read_parquet(corpus_path).map_batches(
+        _touch, batch_format="pyarrow", batch_size=1024
+    ).count()
 
     index_dir = f"/tmp/coderag_bench_idx_{NUM_CPUS}"
     shutil.rmtree(index_dir, ignore_errors=True)
-    cfg = IndexConfig(tokenizer="code", num_partitions=max(NUM_CPUS * 2, 16))
+    # fixed partition count across parallelism levels: identical work shape
+    cfg = IndexConfig(tokenizer="code", num_partitions=BENCH_PARTITIONS)
     t0 = time.perf_counter()
     report = build_index(ray.data.read_parquet(corpus_path), index_dir, cfg, resume=False)
     build_s = time.perf_counter() - t0

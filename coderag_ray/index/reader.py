@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
+from coderag_ray.functions import varint
+
 from coderag_ray.config import IndexConfig
 from coderag_ray.index import manifest as mf
 from coderag_ray.index.partition import part_dirname
@@ -35,6 +37,37 @@ class PartitionHandle:
     dls: np.ndarray          # [n_local] int64 token counts
     paths: np.ndarray | None = None  # lazily loaded for result filters
     magnitudes: np.ndarray | None = None  # lazily loaded for cosine mode
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self.doc_ids)
+
+
+@dataclass
+class CompactIndex:
+    """Merged-partition resident query view.
+
+    When the whole shard is preloaded, per-query work per term collapses
+    from P python iterations to ONE numpy pass over a global posting
+    array (``global_ord = part_offset + local_ord``; segments are
+    concatenated in ascending part order).  Results are bitwise-identical
+    to the per-partition path: per-doc score sums still run in query-term
+    order and the explicit (score, doc_id, chunk_id) tie-break never
+    depends on ordinal layout.
+    """
+
+    doc_ids: np.ndarray
+    chunk_ids: np.ndarray
+    dls: np.ndarray
+    part_offsets: dict[int, int]
+    postings: dict[str, tuple[np.ndarray, np.ndarray]]  # term → (global ords, freqs)
+
+    def locate(self, global_ords: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """global ordinal → (part_id, local ordinal) arrays."""
+        pids = np.array(sorted(self.part_offsets), dtype=np.int64)
+        offs = np.array([self.part_offsets[int(p)] for p in pids], dtype=np.int64)
+        idx = np.searchsorted(offs, global_ords, side="right") - 1
+        return pids[idx], global_ords - offs[idx]
 
     @property
     def n_chunks(self) -> int:
@@ -138,6 +171,46 @@ class IndexReader:
 
     PRELOAD_MAX_BYTES = 512 << 20  # compressed; per query-server shard
 
+    def compact(self) -> "CompactIndex | None":
+        """Merged-partition resident view (see :class:`CompactIndex`);
+        built lazily by :meth:`ensure_preloaded` when the shard fits."""
+        return getattr(self, "_compact", None)
+
+    def _build_compact(self) -> None:
+        offsets = {}
+        doc_ids, chunk_ids, dls = [], [], []
+        total = 0
+        for pid in self.partitions:
+            h = self.partition(pid)
+            offsets[pid] = total
+            total += h.n_chunks
+            doc_ids.append(h.doc_ids)
+            chunk_ids.append(h.chunk_ids)
+            dls.append(h.dls)
+        post: dict[str, list] = {}
+        for (pid, term), rec in self._post_cache.items():
+            if rec is None:
+                continue
+            post.setdefault(term, []).append((pid, rec))
+        merged: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for term, recs in post.items():
+            recs.sort(key=lambda t: t[0])
+            ords = np.concatenate(
+                [varint.decode_deltas(r["doc_buf"]).astype(np.int64) + offsets[pid]
+                 for pid, r in recs]
+            )
+            freqs = np.concatenate(
+                [varint.decode(r["freq_buf"]).astype(np.float64) for _, r in recs]
+            )
+            merged[term] = (ords, freqs)
+        self._compact = CompactIndex(
+            doc_ids=np.concatenate(doc_ids) if doc_ids else np.empty(0, dtype=np.int64),
+            chunk_ids=np.concatenate(chunk_ids) if chunk_ids else np.empty(0, dtype=np.int64),
+            dls=np.concatenate(dls) if dls else np.empty(0, dtype=np.int64),
+            part_offsets={pid: off for pid, off in offsets.items()},
+            postings=merged,
+        )
+
     def ensure_preloaded(self) -> bool:
         """Pin all posting lists in RAM when the shard is small enough.
 
@@ -162,6 +235,7 @@ class IndexReader:
                 self._post_cache[(pid, rec["term"])] = rec
             self._full_parts.add(pid)
         self._post_cache_cap = max(self._post_cache_cap, len(self._post_cache) + 10_000)
+        self._build_compact()
         return True
 
     def partition_magnitudes(self, part_id: int) -> np.ndarray:

@@ -300,6 +300,11 @@ def search(
         return _empty_result()
     reader.ensure_preloaded()
 
+    compact = reader.compact() if (filters is None and not use_wand and not parallel
+                                   and mode == "bm25") else None
+    if compact is not None:
+        return _search_compact(compact, reader, tokens, idf_map, k, min_score,
+                               with_doc_columns)
     if mode == "cosine":
         uniq, q_tfidf, qmag = build_query_vector(query, reader)
         parts = [
@@ -338,6 +343,47 @@ def search(
             for pid in reader.partitions
         ]
     return _finish(parts, reader, tokens, k, min_score, with_doc_columns)
+
+
+def _search_compact(compact, reader, tokens, idf_map, k, min_score,
+                    with_doc_columns) -> pa.Table:
+    """One numpy pass per query term over the merged resident index —
+    bitwise-identical to the per-partition path (see CompactIndex)."""
+    scores = np.zeros(compact.n_chunks, dtype=np.float64)
+    matched = np.zeros(compact.n_chunks, dtype=np.int64)
+    dls_eff = np.maximum(compact.dls, 1).astype(np.float64)
+    for qi, tok in enumerate(tokens):
+        rec = compact.postings.get(tok)
+        if rec is None:
+            continue
+        ords, freqs = rec
+        scores[ords] += bm25_term_score(freqs, idf_map[tok][1], dls_eff[ords], reader.avgdl)
+        matched[ords] |= 1 << qi
+    cand = np.flatnonzero(matched)
+    keep = scores[cand] >= min_score
+    cand = cand[keep]
+    if len(cand) == 0:
+        return _empty_result()
+    order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand], -scores[cand]))[:k]
+    sel = cand[order]
+    pids, local = compact.locate(sel)
+    matched_terms = [
+        [tokens[qi] for qi in range(len(tokens)) if m & (1 << qi)] for m in matched[sel]
+    ]
+    result = pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int32)),
+            "doc_id": pa.array(compact.doc_ids[sel]),
+            "chunk_id": pa.array(compact.chunk_ids[sel]),
+            "score": pa.array(scores[sel]),
+            "matched_terms": pa.array(matched_terms, type=pa.list_(pa.string())),
+            "part_id": pa.array(pids),
+            "ordinal": pa.array(local),
+        }
+    )
+    if with_doc_columns and result.num_rows:
+        result = attach_doc_columns(result, reader)
+    return result
 
 
 def _finish(parts, reader, tokens, k, min_score, with_doc_columns) -> pa.Table:
