@@ -28,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("CODERAG_BENCH_DOCS", "60000"))
+BENCH_DOCS = int(os.environ.get("CODERAG_BENCH_DOCS", "150000"))
 BENCH_PARTITIONS = int(os.environ.get("CODERAG_BENCH_PARTITIONS", "64"))
 CORPUS_SEED = 42
 
@@ -53,7 +53,9 @@ def ensure_bench_corpus(n_docs: int) -> str:
         ids = batch["id"].to_pylist()
         return make_corpus_range(min(ids), max(ids) + 1, CORPUS_SEED)
 
-    ray.data.range(n_docs, override_num_blocks=max(NUM_CPUS, 8)).map_batches(
+    # fixed 64 output files regardless of generation-time CPU count: the
+    # build's fused read→map stage parallelism follows source block count
+    ray.data.range(n_docs, override_num_blocks=64).map_batches(
         gen, batch_format="pyarrow", batch_size=None
     ).write_parquet(path)
     open(done, "w").close()
@@ -107,8 +109,10 @@ def run_bench() -> dict:
 
     index_dir = f"/tmp/coderag_bench_idx_{NUM_CPUS}"
     shutil.rmtree(index_dir, ignore_errors=True)
-    # fixed partition count across parallelism levels: identical work shape
-    cfg = IndexConfig(tokenizer="code", num_partitions=BENCH_PARTITIONS)
+    # fixed partition count across parallelism levels: identical work shape;
+    # magnitudes (cosine support) excluded from the BM25 headline
+    cfg = IndexConfig(tokenizer="code", num_partitions=BENCH_PARTITIONS,
+                      store_magnitudes=False)
     t0 = time.perf_counter()
     report = build_index(ray.data.read_parquet(corpus_path), index_dir, cfg, resume=False)
     build_s = time.perf_counter() - t0

@@ -218,15 +218,23 @@ def build_index(
 
         idx_dir, cfg = index_dir, config
 
-        def write_group(group: pa.Table) -> pa.Table:
-            row = write_partition(group, idx_dir, cfg)
-            return pa.table({k: [v] for k, v in row.items()})
+        if config.shuffle == "runs":
+            from coderag_ray.index.run_shuffle import run_shuffle_build
 
-        results = (
-            tokenized.groupby("part_id")
-            .map_groups(write_group, batch_format="pyarrow")
-            .take_all()
-        )
+            results = run_shuffle_build(tokenized, index_dir, config)
+        elif config.shuffle == "groupby":
+
+            def write_group(group: pa.Table) -> pa.Table:
+                row = write_partition(group, idx_dir, cfg)
+                return pa.table({k: [v] for k, v in row.items()})
+
+            results = (
+                tokenized.groupby("part_id")
+                .map_groups(write_group, batch_format="pyarrow")
+                .take_all()
+            )
+        else:
+            raise ValueError(f"unknown shuffle {config.shuffle!r}")
         _phase("tokenize_shuffle_write")
         for row in results:
             part_rows[int(row["part_id"])] = {k: v for k, v in row.items() if k != "part_id"}

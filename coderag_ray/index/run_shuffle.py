@@ -1,0 +1,104 @@
+"""Map-side bucketed spill shuffle for the partition build.
+
+Alternative to ``groupby(part_id).map_groups`` (config ``shuffle="runs"``,
+the default): each tokenize-output batch is split by ``part_id`` and
+appended as a small parquet "run" under ``_runs/part=NNNNN/``; a second
+wave of per-partition merge tasks reads exactly its partition's runs and
+calls the same :func:`write_partition`.  This is the FS-mediated hash
+shuffle used by large-scale index builds (map-side partitioned spill to
+shared storage + per-bucket merge): no all-to-all through the object
+store, each byte is written once and read once, and both waves scale
+linearly with workers.  On a multi-node cluster the run directory lives
+on the shared filesystem/object store the index itself targets.
+
+Retry safety: run filenames are deterministic in the batch's first row
+(min (doc_id, chunk_id)), so a retried map task overwrites its own runs
+instead of duplicating rows; files are written via tmp + atomic rename.
+
+The Ray-native sort shuffle remains available as ``shuffle="groupby"``;
+both produce byte-identical partitions (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+RUNS_DIRNAME = "_runs"
+
+
+class RunWriter:
+    """map_batches stage: split a tokenized batch by part_id and spill
+    one run file per partition touched.  Emits (part_id, file, n_rows)
+    summary rows."""
+
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"part_id": pa.array([], type=pa.int32()),
+                             "file": pa.array([], type=pa.string()),
+                             "n_rows": pa.array([], type=pa.int64())})
+        order = pc.sort_indices(
+            t, sort_keys=[("part_id", "ascending"), ("doc_id", "ascending"),
+                          ("chunk_id", "ascending")]
+        )
+        s = t.take(order)
+        pids = s["part_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, pids[1:] != pids[:-1]])
+        ends = np.r_[starts[1:], len(pids)]
+        batch_key = f"{s['doc_id'][0].as_py()}-{s['chunk_id'][0].as_py()}-{t.num_rows}"
+        out_p, out_f, out_n = [], [], []
+        for b, e in zip(starts, ends):
+            pid = int(pids[b])
+            part_dir = os.path.join(self.run_dir, f"part={pid:05d}")
+            os.makedirs(part_dir, exist_ok=True)
+            path = os.path.join(part_dir, f"run-{batch_key}.parquet")
+            tmp = f"{path}.tmp{os.getpid()}"
+            pq.write_table(s.slice(b, e - b), tmp, compression="zstd")
+            os.replace(tmp, path)
+            out_p.append(pid)
+            out_f.append(path)
+            out_n.append(int(e - b))
+        return pa.table({"part_id": pa.array(out_p, type=pa.int32()),
+                         "file": pa.array(out_f, type=pa.string()),
+                         "n_rows": pa.array(out_n, type=pa.int64())})
+
+
+def run_shuffle_build(tokenized, index_dir: str, config) -> list[dict]:
+    """Spill tokenized rows into per-partition runs, then merge each
+    partition with one Ray task.  Returns the manifest rows."""
+    import ray
+
+    from coderag_ray.index.partition import write_partition
+
+    run_dir = os.path.join(index_dir, RUNS_DIRNAME)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir, exist_ok=True)
+
+    summaries = tokenized.map_batches(
+        RunWriter(run_dir), batch_format="pyarrow", batch_size=None
+    ).take_all()
+    files_of: dict[int, list[str]] = {}
+    for row in summaries:
+        files_of.setdefault(int(row["part_id"]), []).append(row["file"])
+
+    @ray.remote
+    def merge(pid: int, files: list[str], idx_dir: str, cfg) -> dict:
+        tables = [pq.read_table(f) for f in sorted(files)]
+        group = pa.concat_tables(tables).combine_chunks()
+        return write_partition(group, idx_dir, cfg)
+
+    futures = [
+        merge.remote(pid, files, index_dir, config)
+        for pid, files in sorted(files_of.items())
+    ]
+    rows = ray.get(futures)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return rows

@@ -364,7 +364,14 @@ def _search_compact(compact, reader, tokens, idf_map, k, min_score,
     cand = cand[keep]
     if len(cand) == 0:
         return _empty_result()
-    order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand], -scores[cand]))[:k]
+    sc = scores[cand]
+    if k > 0 and len(cand) > 4 * k:
+        # exact top-k preselection: keep everything >= the k-th largest
+        # score (ties included), then tie-break-sort the small survivor set
+        kth = np.partition(sc, len(sc) - k)[len(sc) - k]
+        m = sc >= kth
+        cand, sc = cand[m], sc[m]
+    order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand], -sc))[:k]
     sel = cand[order]
     pids, local = compact.locate(sel)
     matched_terms = [
