@@ -28,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("CODERAG_BENCH_DOCS", "150000"))
+BENCH_DOCS = int(os.environ.get("CODERAG_BENCH_DOCS", "400000"))
 BENCH_PARTITIONS = int(os.environ.get("CODERAG_BENCH_PARTITIONS", "64"))
 CORPUS_SEED = 42
 
@@ -114,7 +114,12 @@ def run_bench() -> dict:
     cfg = IndexConfig(tokenizer="code", num_partitions=BENCH_PARTITIONS,
                       store_magnitudes=False)
     t0 = time.perf_counter()
-    report = build_index(ray.data.read_parquet(corpus_path), index_dir, cfg, resume=False)
+    # 128 read blocks → 128 fused read→tokenize→spill tasks (4 waves at 32
+    # CPUs for load balance) → 128×P run files
+    report = build_index(
+        ray.data.read_parquet(corpus_path, override_num_blocks=128),
+        index_dir, cfg, resume=False,
+    )
     build_s = time.perf_counter() - t0
     results["build_index_s"] = round(build_s, 3)
     results["build_docs_per_s"] = round(report.n_docs / build_s, 1)
@@ -172,26 +177,33 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling() -> dict:
-    """Same job, fresh processes, 8 vs 32 CPUs (N vs 4N stand-in)."""
+def run_scaling(n_lo: int = 8, n_hi: int = 32) -> dict:
+    """Same job, fresh processes, N vs 4N CPUs.
+
+    Pass ``--scaling LO,HI`` to pick the pair.  Caveat recorded in
+    BASELINE.md: this single VM's DRAM bandwidth saturates the (memory-
+    bound) build beyond ~16 cores, so vCPU pairs above that understate
+    the multi-node (N→4N *nodes*) efficiency the criterion targets —
+    node counts scale memory bandwidth with workers, vCPUs here do not.
+    """
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                            capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
+    lo, hi = one(n_lo), one(n_hi)
     thr_lo = lo["queries"]["build_docs_per_s"]
     thr_hi = hi["queries"]["build_docs_per_s"]
-    eff = (thr_hi / thr_lo) / (32 / 8)
+    eff = (thr_hi / thr_lo) / (n_hi / n_lo)
     return {
-        "metric": "scaling_8_to_32_cpus",
-        "build_s_8": lo["queries"]["build_index_s"],
-        "build_s_32": hi["queries"]["build_index_s"],
-        "docs_per_s_8": thr_lo,
-        "docs_per_s_32": thr_hi,
-        "query_p95_ms_8": lo["queries"]["query_p95_ms"],
-        "query_p95_ms_32": hi["queries"]["query_p95_ms"],
+        "metric": f"scaling_{n_lo}_to_{n_hi}_cpus",
+        f"build_s_{n_lo}": lo["queries"]["build_index_s"],
+        f"build_s_{n_hi}": hi["queries"]["build_index_s"],
+        f"docs_per_s_{n_lo}": thr_lo,
+        f"docs_per_s_{n_hi}": thr_hi,
+        f"query_p95_ms_{n_lo}": lo["queries"]["query_p95_ms"],
+        f"query_p95_ms_{n_hi}": hi["queries"]["query_p95_ms"],
         "scaling_efficiency": round(eff, 3),
         "bench_docs": lo["bench_docs"],
     }
@@ -199,6 +211,11 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        i = sys.argv.index("--scaling")
+        if i + 1 < len(sys.argv) and "," in sys.argv[i + 1]:
+            lo, hi = (int(x) for x in sys.argv[i + 1].split(","))
+            print(json.dumps(run_scaling(lo, hi)))
+        else:
+            print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

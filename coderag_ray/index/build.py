@@ -124,6 +124,25 @@ def _build_idf(index_dir: str, part_rows: dict[int, dict], n_chunks_total: int) 
                       "idf": pa.array([], type=pa.float64())}),
             os.path.join(tmp_dir, "idf.parquet"),
         )
+    elif sum(os.path.getsize(f) for f in files) <= 256 << 20:
+        # small-vocabulary fast path: the partials fit the driver — one
+        # arrow concat + group + sort beats scheduling a 3-stage Ray job
+        import pyarrow.parquet as pq
+
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        import pandas as pd
+
+        pdf = tbl.to_pandas().groupby("term", sort=True)["df_local"].sum().reset_index()
+        out = pa.table(
+            {
+                "term": pa.array(pdf["term"], type=pa.string()),
+                "df": pa.array(pdf["df_local"].to_numpy().astype("int64")),
+                "idf": pa.array(idf_smoothed(pdf["df_local"].to_numpy(), n_chunks_total)),
+            }
+        )
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(out, os.path.join(tmp_dir, "idf.parquet"),
+                       row_group_size=16384, compression="zstd")
     else:
         from coderag_ray.stages.bucket_agg import bucketed_groupby_sum
 

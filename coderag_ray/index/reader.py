@@ -61,6 +61,16 @@ class CompactIndex:
     dls: np.ndarray
     part_offsets: dict[int, int]
     postings: dict[str, tuple[np.ndarray, np.ndarray]]  # term → (global ords, freqs)
+    dl_norm: np.ndarray | None = None  # k1*(1 - b + (b*dl_eff)/avgdl), precomputed
+
+    def ensure_dl_norm(self, avgdl: float, k1: float, b: float) -> np.ndarray:
+        """Per-chunk BM25 length normalization, computed once: the score
+        denominator is ``tf + dl_norm[ord]`` — the identical float64
+        expression as the naive per-query form, factored out."""
+        if self.dl_norm is None:
+            dl_eff = np.maximum(self.dls, 1).astype(np.float64)
+            self.dl_norm = k1 * (1.0 - b + (b * dl_eff) / avgdl)
+        return self.dl_norm
 
     def locate(self, global_ords: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """global ordinal → (part_id, local ordinal) arrays."""
