@@ -90,6 +90,28 @@ def decode_deltas(buf: bytes, offset: int = 0, count: int | None = None, base: i
     return out
 
 
+def decode_delta_runs(buf: bytes | memoryview, run_lengths: np.ndarray) -> np.ndarray:
+    """Decode a concatenation of delta-encoded runs in one vectorized pass.
+
+    ``buf`` holds ``sum(run_lengths)`` v-byte values; each run of
+    ``run_lengths[i]`` values is independently delta-encoded (first value
+    absolute).  The cumulative sum is computed globally and re-based at
+    run starts — equivalent to per-run ``decode_deltas`` but without a
+    Python loop over runs (used by the bulk index preload).
+    """
+    deltas = decode(buf)
+    if deltas.size == 0:
+        return deltas
+    total = int(run_lengths.sum())
+    assert total == deltas.size, (total, deltas.size)
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.cumsum(run_lengths)[:-1]  # index of each run's first value (except run 0)
+    base = np.zeros(deltas.size, dtype=np.uint64)
+    base[starts] = cs[starts - 1]
+    np.maximum.accumulate(base, out=base)
+    return cs - base
+
+
 def value_byte_lengths(values: np.ndarray) -> np.ndarray:
     """Encoded byte length per value — used to compute per-term / per-block
     byte offsets without re-encoding."""

@@ -186,8 +186,24 @@ class IndexReader:
         built lazily by :meth:`ensure_preloaded` when the shard fits."""
         return getattr(self, "_compact", None)
 
-    def _build_compact(self) -> None:
-        offsets = {}
+    def ensure_preloaded(self) -> bool:
+        """Pin all posting lists in RAM when the shard is small enough.
+
+        This is the query-server scale design: each scorer holds its
+        partition shard's postings in memory (Lucene/ES-style); the
+        row-group-pruned parquet path remains the cold/oversized
+        fallback (and serves the WAND/cosine block-structured paths).
+        Fully vectorized: each partition's posting buffers are decoded in
+        one pass (:func:`coderag_ray.functions.varint.decode_delta_runs`)
+        — no per-term Python loop.  Returns True if resident.
+        """
+        if self._preload_checked:
+            return self.compact() is not None
+        self._preload_checked = True
+        if self._bytes_postings > self.PRELOAD_MAX_BYTES:
+            return False
+
+        offsets: dict[int, int] = {}
         doc_ids, chunk_ids, dls = [], [], []
         total = 0
         for pid in self.partitions:
@@ -197,55 +213,48 @@ class IndexReader:
             doc_ids.append(h.doc_ids)
             chunk_ids.append(h.chunk_ids)
             dls.append(h.dls)
-        post: dict[str, list] = {}
-        for (pid, term), rec in self._post_cache.items():
-            if rec is None:
-                continue
-            post.setdefault(term, []).append((pid, rec))
-        merged: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for term, recs in post.items():
-            recs.sort(key=lambda t: t[0])
-            ords = np.concatenate(
-                [varint.decode_deltas(r["doc_buf"]).astype(np.int64) + offsets[pid]
-                 for pid, r in recs]
+
+        merged: dict[str, list] = {}
+        for pid in self.partitions:
+            tbl = pq.read_table(
+                os.path.join(self.part_dir(pid), "postings.parquet"),
+                columns=["term", "df_local", "doc_buf", "freq_buf"],
             )
-            freqs = np.concatenate(
-                [varint.decode(r["freq_buf"]).astype(np.float64) for _, r in recs]
+            terms = tbl["term"].to_pylist()
+            df = tbl["df_local"].to_numpy(zero_copy_only=False).astype(np.int64)
+            part_off = np.uint64(offsets[pid])
+            bounds = np.concatenate([[0], np.cumsum(df)])
+            pos = 0
+            for col_name, is_delta in (("doc_buf", True), ("freq_buf", False)):
+                col = tbl[col_name].combine_chunks()
+                bufs = col.buffers()
+                off_arr = np.frombuffer(
+                    bufs[1], dtype=np.int64, count=len(col) + 1, offset=col.offset * 8
+                )
+                data = memoryview(bufs[2])[off_arr[0]: off_arr[-1]]
+                if is_delta:
+                    ords_all = varint.decode_delta_runs(data, df) + part_off
+                else:
+                    freqs_all = varint.decode(data).astype(np.float64)
+            ords_all = ords_all.astype(np.int64)
+            for i, t in enumerate(terms):
+                sl = slice(bounds[i], bounds[i + 1])
+                merged.setdefault(t, []).append((ords_all[sl], freqs_all[sl]))
+
+        postings = {
+            t: (
+                np.concatenate([a for a, _ in chunks_]) if len(chunks_) > 1 else chunks_[0][0],
+                np.concatenate([f for _, f in chunks_]) if len(chunks_) > 1 else chunks_[0][1],
             )
-            merged[term] = (ords, freqs)
+            for t, chunks_ in merged.items()
+        }
         self._compact = CompactIndex(
             doc_ids=np.concatenate(doc_ids) if doc_ids else np.empty(0, dtype=np.int64),
             chunk_ids=np.concatenate(chunk_ids) if chunk_ids else np.empty(0, dtype=np.int64),
             dls=np.concatenate(dls) if dls else np.empty(0, dtype=np.int64),
-            part_offsets={pid: off for pid, off in offsets.items()},
-            postings=merged,
+            part_offsets=offsets,
+            postings=postings,
         )
-
-    def ensure_preloaded(self) -> bool:
-        """Pin all posting lists in RAM when the shard is small enough.
-
-        This is the query-server scale design: each scorer holds its
-        partition shard's postings in memory (Lucene/ES-style); the
-        row-group-pruned parquet path below remains the cold/oversized
-        fallback.  Returns True if fully resident.
-        """
-        if self._preload_checked:
-            return len(self._full_parts) == len(self.partitions)
-        self._preload_checked = True
-        if self._bytes_postings > self.PRELOAD_MAX_BYTES:
-            return False
-        for pid in self.partitions:
-            tbl = pq.read_table(os.path.join(self.part_dir(pid), "postings.parquet"))
-            for i in range(tbl.num_rows):
-                rec = {name: tbl[name][i].as_py() for name in
-                       ("term", "df_local", "doc_buf", "freq_buf")}
-                for name in ("block_last_ord", "block_max_freq", "block_min_dl",
-                             "block_doc_off", "block_freq_off"):
-                    rec[name] = np.asarray(tbl[name][i].as_py(), dtype=np.int64)
-                self._post_cache[(pid, rec["term"])] = rec
-            self._full_parts.add(pid)
-        self._post_cache_cap = max(self._post_cache_cap, len(self._post_cache) + 10_000)
-        self._build_compact()
         return True
 
     def partition_magnitudes(self, part_id: int) -> np.ndarray:
