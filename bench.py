@@ -145,21 +145,22 @@ def run_bench() -> dict:
     results["query_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 2)
     results["query_n"] = len(queries)
 
-    # incremental rebuild (resume no-op) — checkpoint overhead
-    t0 = time.perf_counter()
-    build_index(ray.data.read_parquet(corpus_path), index_dir, cfg, resume=True)
-    results["resume_noop_s"] = round(time.perf_counter() - t0, 3)
-
-    # sf-dir table pipelines
-    import __ray_entry__ as entrymod
-
-    for name in ("q_dedup_exact", "q_ngram_jaccard", "q_knn", "q_events_window",
-                 "q_sessions", "q_text_stats", "q_media_features"):
+    if not os.environ.get("CODERAG_BENCH_SCALING_ONLY"):
+        # incremental rebuild (resume no-op) — checkpoint overhead
         t0 = time.perf_counter()
-        out = entrymod.queries()[name](SF_DIR)
-        if hasattr(out, "to_pandas"):
-            out.to_pandas() if not hasattr(out, "materialize") else out.materialize()
-        results[f"{name}_s"] = round(time.perf_counter() - t0, 3)
+        build_index(ray.data.read_parquet(corpus_path), index_dir, cfg, resume=True)
+        results["resume_noop_s"] = round(time.perf_counter() - t0, 3)
+
+        # sf-dir table pipelines
+        import __ray_entry__ as entrymod
+
+        for name in ("q_dedup_exact", "q_ngram_jaccard", "q_knn", "q_events_window",
+                     "q_sessions", "q_text_stats", "q_media_features"):
+            t0 = time.perf_counter()
+            out = entrymod.queries()[name](SF_DIR)
+            if hasattr(out, "to_pandas"):
+                out.to_pandas() if not hasattr(out, "materialize") else out.materialize()
+            results[f"{name}_s"] = round(time.perf_counter() - t0, 3)
 
     headline = results["build_index_s"] + sum(lat)
     out = {
@@ -187,7 +188,8 @@ def run_scaling(n_lo: int = 8, n_hi: int = 32) -> dict:
     node counts scale memory bandwidth with workers, vCPUs here do not.
     """
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   CODERAG_BENCH_SCALING_ONLY="1")  # build+query only
         p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                            capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])

@@ -60,17 +60,12 @@ class CompactIndex:
     chunk_ids: np.ndarray
     dls: np.ndarray
     part_offsets: dict[int, int]
-    postings: dict[str, tuple[np.ndarray, np.ndarray]]  # term → (global ords, freqs)
-    dl_norm: np.ndarray | None = None  # k1*(1 - b + (b*dl_eff)/avgdl), precomputed
-
-    def ensure_dl_norm(self, avgdl: float, k1: float, b: float) -> np.ndarray:
-        """Per-chunk BM25 length normalization, computed once: the score
-        denominator is ``tf + dl_norm[ord]`` — the identical float64
-        expression as the naive per-query form, factored out."""
-        if self.dl_norm is None:
-            dl_eff = np.maximum(self.dls, 1).astype(np.float64)
-            self.dl_norm = k1 * (1.0 - b + (b * dl_eff) / avgdl)
-        return self.dl_norm
+    # term → (global ords, per-posting BM25 impact).  The impact is the
+    # full per-posting contribution idf * (tf*(k1+1)) / (tf + dl_norm[ord])
+    # precomputed ONCE at preload with the identical float64 expression
+    # tree the per-query path would evaluate — per query, scoring a term
+    # is a single gather-add.
+    postings: dict[str, tuple[np.ndarray, np.ndarray]]
 
     def locate(self, global_ords: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """global ordinal → (part_id, local ordinal) arrays."""
@@ -214,6 +209,11 @@ class IndexReader:
             chunk_ids.append(h.chunk_ids)
             dls.append(h.dls)
 
+        all_dls = np.concatenate(dls) if dls else np.empty(0, dtype=np.int64)
+        k1, b = self.config.k1, self.config.b
+        dl_eff = np.maximum(all_dls, 1).astype(np.float64)
+        dl_norm = k1 * (1.0 - b + (b * dl_eff) / self.avgdl)
+
         merged: dict[str, list] = {}
         for pid in self.partitions:
             tbl = pq.read_table(
@@ -224,7 +224,6 @@ class IndexReader:
             df = tbl["df_local"].to_numpy(zero_copy_only=False).astype(np.int64)
             part_off = np.uint64(offsets[pid])
             bounds = np.concatenate([[0], np.cumsum(df)])
-            pos = 0
             for col_name, is_delta in (("doc_buf", True), ("freq_buf", False)):
                 col = tbl[col_name].combine_chunks()
                 bufs = col.buffers()
@@ -237,9 +236,17 @@ class IndexReader:
                 else:
                     freqs_all = varint.decode(data).astype(np.float64)
             ords_all = ords_all.astype(np.int64)
+            # per-posting impact, same expression tree as the per-query form
+            idf_map = self.idf_for_terms(terms)
+            idf_per_posting = np.repeat(
+                np.array([idf_map.get(t, (0, 0.0))[1] for t in terms]), df
+            )
+            imp_all = idf_per_posting * (
+                (freqs_all * (k1 + 1.0)) / (freqs_all + dl_norm[ords_all])
+            )
             for i, t in enumerate(terms):
                 sl = slice(bounds[i], bounds[i + 1])
-                merged.setdefault(t, []).append((ords_all[sl], freqs_all[sl]))
+                merged.setdefault(t, []).append((ords_all[sl], imp_all[sl]))
 
         postings = {
             t: (
@@ -251,7 +258,7 @@ class IndexReader:
         self._compact = CompactIndex(
             doc_ids=np.concatenate(doc_ids) if doc_ids else np.empty(0, dtype=np.int64),
             chunk_ids=np.concatenate(chunk_ids) if chunk_ids else np.empty(0, dtype=np.int64),
-            dls=np.concatenate(dls) if dls else np.empty(0, dtype=np.int64),
+            dls=all_dls,
             part_offsets=offsets,
             postings=postings,
         )

@@ -351,17 +351,12 @@ def _search_compact(compact, reader, tokens, idf_map, k, min_score,
     bitwise-identical to the per-partition path (see CompactIndex)."""
     scores = np.zeros(compact.n_chunks, dtype=np.float64)
     matched = np.zeros(compact.n_chunks, dtype=np.int64)
-    k1, b = reader.config.k1, reader.config.b
-    dl_norm = compact.ensure_dl_norm(reader.avgdl, k1, b)
     for qi, tok in enumerate(tokens):
         rec = compact.postings.get(tok)
         if rec is None:
             continue
-        ords, freqs = rec
-        # same float64 expression tree as bm25_term_score with the
-        # dl-dependent factor precomputed per chunk
-        num = freqs * (k1 + 1.0)
-        scores[ords] += idf_map[tok][1] * (num / (freqs + dl_norm[ords]))
+        ords, impacts = rec  # impacts precomputed at preload (same floats)
+        scores[ords] += impacts
         matched[ords] |= 1 << qi
     cand = np.flatnonzero(matched)
     keep = scores[cand] >= min_score
