@@ -186,7 +186,7 @@ def q_corpus_stats(sf_dir: str):
     )
 
 
-def _bm25_topk(sf_dir: str, cfg: IndexConfig):
+def _bm25_topk(sf_dir: str, cfg: IndexConfig, use_wand: bool = False):
     from coderag_ray.index.reader import IndexReader
     from coderag_ray.query.search import search
 
@@ -194,7 +194,7 @@ def _bm25_topk(sf_dir: str, cfg: IndexConfig):
     reader = IndexReader(idx)
     qids, dids, cids, scores = [], [], [], []
     for qid, text in BM25_QUERIES:
-        res = search(reader, text, TOPK, with_doc_columns=False)
+        res = search(reader, text, TOPK, with_doc_columns=False, use_wand=use_wand)
         n = res.num_rows
         qids.extend([qid] * n)
         dids.extend(res["doc_id"].to_pylist())
@@ -219,6 +219,37 @@ def q_bm25_topk_code(sf_dir: str):
     in pytest (camelCase splits are not ANSI-SQL-expressible): rows-only
     check here."""
     return _bm25_topk(sf_dir, CFG_CODE)
+
+
+def q_bm25_topk_wand(sf_dir: str):
+    """Block-max WAND against the SAME SQL oracle as the exhaustive path
+    — independent evidence the pruning is exact."""
+    return _bm25_topk(sf_dir, CFG_SIMPLE, use_wand=True)
+
+
+def q_cosine_topk(sf_dir: str):
+    """TF-IDF cosine ranking (tfidf.ts:160-212 semantics) with a full
+    SQL oracle (query vector, doc magnitudes over ALL chunk terms)."""
+    from coderag_ray.index.reader import IndexReader
+    from coderag_ray.query.search import search
+
+    idx = _index_for(sf_dir, CFG_SIMPLE)
+    reader = IndexReader(idx)
+    qids, dids, cids, scores = [], [], [], []
+    for qid, text in BM25_QUERIES:
+        res = search(reader, text, TOPK, with_doc_columns=False, mode="cosine")
+        qids.extend([qid] * res.num_rows)
+        dids.extend(res["doc_id"].to_pylist())
+        cids.extend(res["chunk_id"].to_pylist())
+        scores.extend(np.atleast_1d(round6(res["score"].to_numpy(zero_copy_only=False))).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "chunk_id": pa.array(cids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -331,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_stats": q_corpus_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_topk_code": q_bm25_topk_code,
+        "q_bm25_topk_wand": q_bm25_topk_wand,
+        "q_cosine_topk": q_cosine_topk,
         "q_text_stats": q_text_stats,
         "q_quality": q_quality,
         "q_langid": q_langid,
@@ -394,7 +427,7 @@ _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "q_chunk_stats": _CORE + """
 SELECT ch.doc_id, ch.chunk_id, ch.start_offset, ch.end_offset,
        ch.end_offset - ch.start_offset AS n_chunk_chars,
@@ -437,6 +470,49 @@ sc AS (
   JOIN tc ON tc.doc_id = p.doc_id AND tc.chunk_id = p.chunk_id
   CROSS JOIN st
   GROUP BY qt.query_id, p.doc_id, p.chunk_id
+)
+SELECT query_id, doc_id, chunk_id, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id, chunk_id) AS rn FROM sc)
+WHERE rn <= {TOPK}
+""",
+        "q_cosine_topk": _CORE + f""",
+q(query_id, qtext) AS (VALUES {_QUERY_VALUES}),
+qt_all AS (
+  SELECT query_id, lower(t) AS term
+  FROM (SELECT query_id, unnest(regexp_split_to_array(qtext, '[^a-zA-Z0-9_]+')) AS t FROM q) s
+  WHERE length(t) > 1
+),
+qn AS (SELECT query_id, count(*) AS total FROM qt_all GROUP BY query_id),
+qtf AS (SELECT query_id, term, count(*) AS cnt FROM qt_all GROUP BY query_id, term),
+idf AS (
+  SELECT term, ln((st.n_chunks + 1) / (count(*) + 1.0)) + 1 AS idf
+  FROM post CROSS JOIN st GROUP BY term, st.n_chunks
+),
+qvec AS (
+  SELECT qtf.query_id, qtf.term,
+         (CAST(qtf.cnt AS DOUBLE) / qn.total) * COALESCE(idf.idf, 0) AS w
+  FROM qtf JOIN qn USING (query_id) LEFT JOIN idf USING (term)
+),
+qmag AS (SELECT query_id, sqrt(sum(w*w)) AS m FROM qvec GROUP BY query_id),
+dvec AS (
+  SELECT p.doc_id, p.chunk_id, p.term,
+         (CAST(p.raw_freq AS DOUBLE) / greatest(tc.token_count, 1)) * idf.idf AS w
+  FROM post p
+  JOIN tc ON tc.doc_id = p.doc_id AND tc.chunk_id = p.chunk_id
+  JOIN idf ON idf.term = p.term
+),
+dmag AS (SELECT doc_id, chunk_id, sqrt(sum(w*w)) AS m FROM dvec GROUP BY doc_id, chunk_id),
+dt AS (
+  SELECT qv.query_id, dv.doc_id, dv.chunk_id, sum(qv.w * dv.w) AS d
+  FROM qvec qv JOIN dvec dv ON dv.term = qv.term
+  WHERE qv.w != 0
+  GROUP BY qv.query_id, dv.doc_id, dv.chunk_id
+),
+sc AS (
+  SELECT dt.query_id, dt.doc_id, dt.chunk_id,
+         CASE WHEN qmag.m > 0 AND dmag.m > 0 THEN dt.d / (qmag.m * dmag.m) ELSE 0 END AS score
+  FROM dt JOIN qmag USING (query_id)
+  JOIN dmag ON dmag.doc_id = dt.doc_id AND dmag.chunk_id = dt.chunk_id
 )
 SELECT query_id, doc_id, chunk_id, round(score, 6) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id, chunk_id) AS rn FROM sc)
@@ -561,3 +637,6 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS payload_sh
 FROM documents
 """,
     }
+    # WAND must reproduce the exhaustive ranking exactly — same oracle
+    d["q_bm25_topk_wand"] = d["q_bm25_topk"]
+    return d
