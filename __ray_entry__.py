@@ -257,6 +257,38 @@ def q_cosine_topk(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_hybrid_topk(sf_dir: str):
+    """Hybrid vector+BM25 fusion (J8) over the simple-tokenizer index —
+    rows-only check (the mock-embedding vector side has no SQL analog)."""
+    from coderag_ray.index.reader import IndexReader
+    from coderag_ray.pipelines.hybrid import build_embeddings, hybrid_search
+
+    idx = _index_for(sf_dir, CFG_SIMPLE)
+    reader = IndexReader(idx)
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(reader.part_dir(reader.partitions[0]),
+                                         "embeddings.parquet")):
+        build_embeddings(idx, dimensions=32)
+    qids, dids, cids, scores, methods = [], [], [], [], []
+    for qid, text in BM25_QUERIES:
+        res = hybrid_search(reader, text, TOPK, vector_weight=0.5, dimensions=32)
+        qids.extend([qid] * res.num_rows)
+        dids.extend(res["doc_id"].to_pylist())
+        cids.extend(res["chunk_id"].to_pylist())
+        scores.extend(np.atleast_1d(round6(res["score"].to_numpy(zero_copy_only=False))).tolist())
+        methods.extend(res["method"].to_pylist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "chunk_id": pa.array(cids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+            "method": pa.array(methods, type=pa.string()),
+        }
+    )
+
+
 def q_text_stats(sf_dir: str):
     from coderag_ray.pipelines.text_analysis import text_stats_batch
 
@@ -364,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_topk_code": q_bm25_topk_code,
         "q_bm25_topk_wand": q_bm25_topk_wand,
         "q_cosine_topk": q_cosine_topk,
+        "q_hybrid_topk": q_hybrid_topk,
         "q_text_stats": q_text_stats,
         "q_quality": q_quality,
         "q_langid": q_langid,

@@ -145,6 +145,27 @@ def run_bench() -> dict:
     results["query_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 2)
     results["query_n"] = len(queries)
 
+    # batch query throughput: BatchScorer actor pool over a query table
+    import pyarrow as pa
+
+    from coderag_ray.query.search import BatchScorer
+
+    batch_queries = queries * 8
+    qds = ray.data.from_arrow(
+        pa.table({"query_id": pa.array(range(len(batch_queries)), type=pa.int64()),
+                  "text": pa.array(batch_queries)})
+    )
+    n_actors = max(2, min(8, NUM_CPUS // 4))
+    t0 = time.perf_counter()
+    qds.map_batches(
+        BatchScorer, fn_constructor_args=(index_dir, 10), batch_format="pyarrow",
+        batch_size=max(4, len(batch_queries) // (n_actors * 4)),
+        concurrency=n_actors, num_cpus=2,
+    ).count()
+    batch_wall = time.perf_counter() - t0
+    results["batch_queries_per_s"] = round(len(batch_queries) / batch_wall, 1)
+    results["batch_query_n"] = len(batch_queries)
+
     if not os.environ.get("CODERAG_BENCH_SCALING_ONLY"):
         # incremental rebuild (resume no-op) — checkpoint overhead
         t0 = time.perf_counter()

@@ -37,6 +37,52 @@ def mock_embedding(text: str, dimensions: int = DEFAULT_DIMENSIONS) -> np.ndarra
     return v / mag if mag > 0 else v
 
 
+class EmbeddingProviderRegistry:
+    """Provider registry + fallback composition (ST3).
+
+    Mirrors the reference's extension surface
+    (``embeddings.ts:196-229`` ``registerProvider`` and
+    ``embeddings.ts:341-362`` ``composeProviders``): providers are
+    factories of callables ``texts -> ndarray[n, dim]``; ``compose``
+    returns a provider that tries the primary and falls back per batch
+    on failure.
+    """
+
+    def __init__(self):
+        self._factories: dict[str, object] = {}
+        self.register("mock", lambda dimensions=DEFAULT_DIMENSIONS: MockProvider(dimensions))
+
+    def register(self, name: str, factory) -> None:
+        self._factories[name] = factory
+
+    def create(self, name: str, **kwargs):
+        if name not in self._factories:
+            raise KeyError(f"unknown embedding provider {name!r}; "
+                           f"registered: {sorted(self._factories)}")
+        return self._factories[name](**kwargs)
+
+    @staticmethod
+    def compose(primary, fallback):
+        def provider(texts: list[str]) -> np.ndarray:
+            try:
+                return primary(texts)
+            except Exception:  # noqa: BLE001 — provider fallback semantics
+                return fallback(texts)
+
+        return provider
+
+
+class MockProvider:
+    def __init__(self, dimensions: int = DEFAULT_DIMENSIONS):
+        self.dimensions = dimensions
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        return np.stack([mock_embedding(t or "", self.dimensions) for t in texts])
+
+
+registry = EmbeddingProviderRegistry()
+
+
 class EmbedStage:
     """Actor-pool ``map_batches`` stage: text column → embedding list column."""
 

@@ -186,3 +186,25 @@ def test_mock_embedding_matches_reference_semantics():
     v = mock_embedding("hello", 64)
     assert abs(np.linalg.norm(v) - 1.0) < 1e-12
     assert np.array_equal(v, mock_embedding("hello", 64))  # deterministic
+
+
+def test_embedding_provider_registry_and_compose():
+    import numpy as np
+
+    from coderag_ray.functions.embeddings import EmbeddingProviderRegistry, registry
+
+    mock = registry.create("mock", dimensions=16)
+    out = mock(["a", "b"])
+    assert out.shape == (2, 16)
+    with pytest.raises(KeyError):
+        registry.create("openai")
+
+    calls = []
+
+    def failing(texts):
+        calls.append("primary")
+        raise RuntimeError("provider down")
+
+    composed = EmbeddingProviderRegistry.compose(failing, mock)
+    out2 = composed(["x"])
+    assert calls == ["primary"] and out2.shape == (1, 16)  # fell back
