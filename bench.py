@@ -150,16 +150,20 @@ def run_bench() -> dict:
 
     from coderag_ray.query.search import BatchScorer
 
-    batch_queries = queries * 8
+    # each pool actor preloads its resident index once (~secs); the query
+    # count must amortize that cold start — long-lived scorer actors are
+    # the real deployment shape, so this measures pool spin-up + steady
+    # throughput together
+    batch_queries = queries * 24
     qds = ray.data.from_arrow(
         pa.table({"query_id": pa.array(range(len(batch_queries)), type=pa.int64()),
                   "text": pa.array(batch_queries)})
     )
-    n_actors = max(2, min(8, NUM_CPUS // 4))
+    n_actors = max(2, min(4, NUM_CPUS // 8))
     t0 = time.perf_counter()
     qds.map_batches(
         BatchScorer, fn_constructor_args=(index_dir, 10), batch_format="pyarrow",
-        batch_size=max(4, len(batch_queries) // (n_actors * 4)),
+        batch_size=max(4, len(batch_queries) // (n_actors * 8)),
         concurrency=n_actors, num_cpus=2,
     ).count()
     batch_wall = time.perf_counter() - t0

@@ -80,7 +80,12 @@ class CompactIndex:
 
 
 class IndexReader:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, preload: str = "auto"):
+        """``preload``: "auto" builds the resident compact index on first
+        search when the shard fits (latency-optimal, ~secs of startup);
+        "never" keeps lazy row-group-pruned reads + per-term LRU
+        (startup-optimal — e.g. many short-lived batch-scorer actors)."""
+        self._preload_mode = preload
         self.index_dir = index_dir
         self.meta = mf.load_meta(index_dir)
         self.config = IndexConfig.from_dict(self.meta["config"])
@@ -195,7 +200,7 @@ class IndexReader:
         if self._preload_checked:
             return self.compact() is not None
         self._preload_checked = True
-        if self._bytes_postings > self.PRELOAD_MAX_BYTES:
+        if self._preload_mode == "never" or self._bytes_postings > self.PRELOAD_MAX_BYTES:
             return False
 
         offsets: dict[int, int] = {}

@@ -410,8 +410,10 @@ class BatchScorer:
     shard-local top-k; single-node actors hold the whole (small) index.
     """
 
-    def __init__(self, index_dir: str, k: int = 10):
-        self.reader = IndexReader(index_dir)
+    def __init__(self, index_dir: str, k: int = 10, preload: str = "auto"):
+        # short-lived pool actors default to lazy reads unless the caller
+        # opts into the resident preload ("auto"/"never" per IndexReader)
+        self.reader = IndexReader(index_dir, preload=preload)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
