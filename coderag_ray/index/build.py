@@ -203,8 +203,11 @@ def build_index(
         t_ph = now
 
     manifest_obj = mf.load_manifest(index_dir) if resume else None
-    if manifest_obj is not None and manifest_obj.get("config") != config.to_dict():
-        manifest_obj = None  # config change invalidates everything
+    if manifest_obj is not None and (
+        manifest_obj.get("config") != config.to_dict()
+        or manifest_obj.get("schema_version") != SCHEMA_VERSION
+    ):
+        manifest_obj = None  # config or index-format change invalidates everything
     old = mf.manifest_partitions(manifest_obj)
     if old:
         fps = _fingerprints(ingest_ds, config.num_partitions)
