@@ -322,7 +322,9 @@ def q_dedup_exact(sf_dir: str):
 def q_ngram_jaccard(sf_dir: str):
     from coderag_ray.pipelines.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(sf_dir), n=3, top=50)
+    # max_shingle_df=None: exact all-pairs parity with the SQL oracle
+    # (the production default caps hot-shingle pair blowup)
+    return ngram_jaccard_pairs(_docs(sf_dir), n=3, top=50, max_shingle_df=None)
 
 
 def q_minhash_pairs(sf_dir: str):

@@ -48,7 +48,7 @@ def decode(buf: bytes | memoryview | np.ndarray, offset: int = 0, count: int | N
     b = np.frombuffer(buf, dtype=np.uint8)
     if offset:
         b = b[offset:]
-    if b.size == 0:
+    if b.size == 0 or (count is not None and count <= 0):
         return np.empty(0, dtype=np.uint64)
     terminal = (b & 0x80) == 0
     if count is not None:

@@ -243,7 +243,14 @@ def build_index(
         if config.shuffle == "runs":
             from coderag_ray.index.run_shuffle import run_shuffle_build
 
-            results = run_shuffle_build(tokenized, index_dir, config)
+            try:
+                # metadata-based estimate (cheap for a parquet read);
+                # engages the /dev/shm capacity guard in the spill path
+                est_bytes = docs.size_bytes()
+            except Exception:
+                est_bytes = None
+            results = run_shuffle_build(tokenized, index_dir, config,
+                                        estimated_bytes=est_bytes)
         elif config.shuffle == "groupby":
 
             def write_group(group: pa.Table) -> pa.Table:

@@ -103,14 +103,21 @@ def make_run_writer(run_dir: str):
     return run_writer
 
 
-def run_shuffle_build(tokenized, index_dir: str, config) -> list[dict]:
+def run_shuffle_build(tokenized, index_dir: str, config,
+                      estimated_bytes: int | None = None) -> list[dict]:
     """Spill tokenized rows into per-partition runs, then merge each
-    partition with one Ray task.  Returns the manifest rows."""
+    partition with one Ray task.  Returns the manifest rows.
+
+    ``estimated_bytes``: in-memory size estimate of the input corpus —
+    engages the /dev/shm free-space guard in :func:`_choose_run_dir`
+    (lz4 runs are roughly input-sized; the guard wants 4× headroom)
+    so an oversized spill falls back to disk instead of filling
+    RAM-backed tmpfs mid-build."""
     import ray
 
     from coderag_ray.index.partition import write_partition
 
-    run_dir = _choose_run_dir(index_dir)
+    run_dir = _choose_run_dir(index_dir, estimated_bytes)
     shutil.rmtree(run_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, RUNS_DIRNAME), ignore_errors=True)
     os.makedirs(run_dir, exist_ok=True)

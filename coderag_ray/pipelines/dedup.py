@@ -41,6 +41,19 @@ MINHASH_BANDS = 16
 _MERS_P = (1 << 61) - 1
 
 
+def _from_pandas(df: pd.DataFrame) -> pa.Table:
+    """Convert a map_groups result to an ARROW block.  Pandas blocks
+    flowing into a downstream sort hit Ray's unhashable
+    ``PandasBlockSchema`` path (the "Failed to hash the schemas" warning
+    seen in round-1 bench logs) and empty pandas groups emit
+    schema-mismatch warnings — emitting Arrow with explicit dtypes
+    avoids both.  The b'pandas' schema metadata is stripped too: a
+    schema carrying it holds a dict and is UNHASHABLE, which is exactly
+    what tripped Ray's "Failed to hash the schemas" warning in round-1
+    bench logs."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def _word_shingles(text: str, n: int = 3) -> set[str]:
     """Distinct word n-grams of the lowercased, ws-split text (frozen spec,
     mirrored in the SQL oracle)."""
@@ -51,14 +64,23 @@ def _word_shingles(text: str, n: int = 3) -> set[str]:
 
 
 def shingle_batch(t: pa.Table, n: int = 3) -> pa.Table:
-    """(doc_id, shingle) rows — distinct word n-grams per doc."""
-    ids, shingles = [], []
+    """(doc_id, shingle, n_doc_shingles) rows — distinct word n-grams per
+    doc.  The per-doc shingle-set size is carried INLINE on every row so
+    downstream pair scoring never needs a corpus-sized doc→size lookup
+    (no driver-side sizes dict, no extra join)."""
+    ids, shingles, sizes = [], [], []
     for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        for s in _word_shingles(text, n):
+        sh = _word_shingles(text, n)
+        for s in sh:
             ids.append(did)
             shingles.append(s)
+            sizes.append(len(sh))
     return pa.table(
-        {"doc_id": pa.array(ids, type=pa.int64()), "shingle": pa.array(shingles, type=pa.string())}
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "shingle": pa.array(shingles, type=pa.string()),
+            "n_doc_shingles": pa.array(sizes, type=pa.int64()),
+        }
     )
 
 
@@ -94,15 +116,36 @@ def exact_dedup(docs_ds):
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_MAX_SHINGLE_DF = 1024
+
+
 def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
-                        max_shingle_df: int | None = None):
+                        max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF):
     """Top-``top`` doc pairs by exact word-n-gram Jaccard.
 
     Returns a pyarrow Table (doc_a, doc_b, n_common, n_a, n_b, jaccard)
     ordered by (jaccard DESC, doc_a, doc_b) — jaccard is an exact
     integer ratio evaluated in float64, so ordering is reproducible
     bit-for-bit in any engine.
+
+    Scale shape (no corpus-sized state on the driver):
+
+    - per-doc shingle-set sizes ride along on every shingle row
+      (:func:`shingle_batch`), so pair rows are born with (n_a, n_b)
+      attached — no sizes dict, no second join;
+    - pair generation and counting key on the (doc_a, doc_b) COLUMN
+      PAIR throughout (never packed into one int64 — packing silently
+      corrupts 63-bit stable doc ids, e.g. the engine's own
+      ``stable_doc_id``);
+    - ``max_shingle_df`` caps the O(df²) pair blowup of a hot shingle
+      (boilerplate headers, empty-ish docs).  ON by default; dropped
+      runs are counted and logged.  Pass ``None`` only when exact
+      all-pairs parity is required (the SQL-oracle configuration);
+    - the jaccard/top-k tail is a distributed ``sort().limit()`` —
+      only the final ``top`` rows ever reach the driver.
     """
+    import logging
+
     shingles = docs_ds.map_batches(lambda t: shingle_batch(t, n), batch_format="pyarrow")
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -122,59 +165,85 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
         codes, _ = pd.factorize(g["shingle"], sort=False)
         order = np.lexsort((g["doc_id"].to_numpy(), codes))
         ids = g["doc_id"].to_numpy()[order]
+        sizes = g["n_doc_shingles"].to_numpy()[order]
         codes = codes[order]
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         lens = np.diff(np.r_[starts, len(codes)])
         if max_shingle_df is not None:
             keep_run = lens <= max_shingle_df
+            n_dropped = int((~keep_run).sum())
+            if n_dropped:
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard: dropped %d hot shingles (df > %d) in bucket %s",
+                    n_dropped, max_shingle_df, int(g["bucket"].iloc[0]),
+                )
             starts, lens = starts[keep_run], lens[keep_run]
-        out_a, out_b = [], []
+        out_a, out_b, out_na, out_nb = [], [], [], []
         for ln in np.unique(lens):
             if ln < 2:
                 continue
             runs = starts[lens == ln]  # all runs of this length, together
             idx = runs[:, None] + np.arange(ln)[None, :]
             block = ids[idx]  # [n_runs, ln]
+            sblock = sizes[idx]
             ai, bi = np.triu_indices(int(ln), k=1)
             out_a.append(block[:, ai].ravel())
             out_b.append(block[:, bi].ravel())
+            out_na.append(sblock[:, ai].ravel())
+            out_nb.append(sblock[:, bi].ravel())
         if not out_a:
-            return pd.DataFrame({"pair_key": pd.Series([], dtype=np.int64),
-                                 "cnt": pd.Series([], dtype=np.int64)})
-        # pre-aggregate within the bucket and pack (a, b) into one int64
-        # key — Ray's single-key Sum groupby is far cheaper than a
-        # two-key aggregate over the raw pair stream
-        key = np.concatenate(out_a) * (1 << 31) + np.concatenate(out_b)
-        uniq, cnt = np.unique(key, return_counts=True)
-        return pd.DataFrame({"pair_key": uniq.astype(np.int64), "cnt": cnt.astype(np.int64)})
+            return _from_pandas(pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                              "doc_b": pd.Series([], dtype=np.int64),
+                                              "n_a": pd.Series([], dtype=np.int64),
+                                              "n_b": pd.Series([], dtype=np.int64),
+                                              "cnt": pd.Series([], dtype=np.int64)}))
+        # pre-aggregate within the bucket (combiner) so the global merge
+        # only moves one row per (pair, bucket)
+        df = pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+                           "n_a": np.concatenate(out_na), "n_b": np.concatenate(out_nb)})
+        agg = (df.groupby(["doc_a", "doc_b"], sort=False)
+                 .agg(n_a=("n_a", "first"), n_b=("n_b", "first"),
+                      cnt=("doc_a", "size")).reset_index())
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return _from_pandas(agg)
 
-    from ray.data.aggregate import Count
+    from coderag_ray.functions.hashing import splitmix64
 
-    from coderag_ray.stages.bucket_agg import bucketed_groupby_sum
-
-    pair_key_counts = bucketed_groupby_sum(
+    pair_rows = (
         shingles.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs_of_bucket, batch_format="pandas"),
-        "pair_key", "cnt", "n_common", num_buckets=64,
+        .map_groups(pairs_of_bucket, batch_format="pandas")
     )
 
-    def unpack(t: pa.Table) -> pa.Table:
-        key = t["pair_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "doc_a": pa.array(key >> 31),
-                "doc_b": pa.array(key & ((1 << 31) - 1)),
-                "n_common": pc.cast(t["n_common"], pa.int64()),
-            }
-        )
+    # global merge: hash-bucket on doc_a (rows with equal (doc_a, doc_b)
+    # share doc_a → same bucket), one vectorized pandas groupby per
+    # bucket — the bucket_agg pattern generalized to a two-column key
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(a) % np.uint64(64)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
 
-    pair_counts = pair_key_counts.map_batches(unpack, batch_format="pyarrow")
-    sizes = (
-        shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["doc_a", "doc_b"], sort=False)
+                 .agg(n_common=("cnt", "sum"), n_a=("n_a", "first"),
+                      n_b=("n_b", "first")).reset_index())
+        union = agg["n_a"] + agg["n_b"] - agg["n_common"]
+        agg["jaccard"] = agg["n_common"].astype(np.float64) / union.astype(np.float64)
+        for c in ("doc_a", "doc_b", "n_common", "n_a", "n_b"):
+            agg[c] = agg[c].astype(np.int64)
+        return _from_pandas(agg[["doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"]])
+
+    scored = (
+        pair_rows.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
-    size_of = dict(zip(sizes["doc_id"], sizes["n_shingles"]))
-    pdf = pair_counts.to_pandas()
+    # distributed top-k: sort + limit — only `top` rows reach the driver
+    pdf = (
+        scored.sort(["jaccard", "doc_a", "doc_b"], descending=[True, False, False])
+        .limit(top)
+        .to_pandas()
+    )
     if len(pdf) == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64()),
@@ -182,14 +251,7 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
                          "n_a": pa.array([], type=pa.int64()),
                          "n_b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
-    pdf["n_a"] = pdf["doc_a"].map(size_of).astype(np.int64)
-    pdf["n_b"] = pdf["doc_b"].map(size_of).astype(np.int64)
-    union = pdf["n_a"] + pdf["n_b"] - pdf["n_common"]
-    pdf["jaccard"] = pdf["n_common"].astype(np.float64) / union.astype(np.float64)
-    pdf = pdf.sort_values(["jaccard", "doc_a", "doc_b"], ascending=[False, True, True]).head(top)
     pdf["jaccard"] = round6(pdf["jaccard"].to_numpy())
-    for c in ("doc_a", "doc_b", "n_common", "n_a", "n_b"):
-        pdf[c] = pdf[c].astype(np.int64)
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
@@ -206,17 +268,51 @@ _rng = np.random.default_rng(12345)
 _MH_A = (_rng.integers(1, _MERS_P, size=MINHASH_PERMS, dtype=np.int64)).astype(np.uint64)
 _MH_B = (_rng.integers(0, _MERS_P, size=MINHASH_PERMS, dtype=np.int64)).astype(np.uint64)
 
+_M61 = np.uint64(_MERS_P)
+_U = np.uint64  # shorthand for shift constants
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x (uint64, any value) mod 2^61-1, exact.  2^61 ≡ 1 (mod p), so
+    fold the top bits down once; one conditional subtract finishes."""
+    r = (x & _M61) + (x >> _U(61))
+    return np.where(r >= _M61, r - _M61, r)
+
+
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * b) mod 2^61-1 for a, b < 2^61, fully vectorized in uint64.
+
+    Schoolbook 32-bit limb split; every partial product fits uint64:
+    a·b = hi·2^64 + mid·2^32 + lo with hi = a₁b₁ < 2^58,
+    mid = a₁b₀ + a₀b₁ < 2^62, lo = a₀b₀ < 2^64.  Reductions use
+    2^61 ≡ 1: 2^64 ≡ 8, and mid·2^32 = (mid≫29) + (mid mod 2^29)·2^32.
+    """
+    a_hi, a_lo = a >> _U(32), a & _U(0xFFFFFFFF)
+    b_hi, b_lo = b >> _U(32), b & _U(0xFFFFFFFF)
+    lo = a_lo * b_lo
+    mid = a_hi * b_lo + a_lo * b_hi
+    hi = a_hi * b_hi
+    r = (lo & _M61) + (lo >> _U(61))                    # < 2^61 + 8
+    r = r + (mid >> _U(29)) + ((mid & _U((1 << 29) - 1)) << _U(32))  # + <2^33 + <2^61
+    r = r + (hi << _U(3))                               # + < 2^61 → total < 2^63, no overflow
+    r = (r & _M61) + (r >> _U(61))
+    r = (r & _M61) + (r >> _U(61))
+    return np.where(r >= _M61, r - _M61, r)
+
 
 def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
-    """64-perm MinHash of a set of 64-bit shingle hashes (uint64[perms])."""
+    """64-perm MinHash of a set of 64-bit shingle hashes (uint64[perms]).
+
+    One (perms × shingles) uint64 Mersenne-61 mulmod matrix — bitwise
+    identical to exact big-int ``(a·h + b) mod p`` (asserted in tests)
+    at numpy speed instead of 64 sequential object-dtype passes.
+    """
     if len(shingle_hashes) == 0:
         return np.full(MINHASH_PERMS, np.iinfo(np.uint64).max, dtype=np.uint64)
-    h = shingle_hashes.astype(np.object_)  # python ints: exact mod-p arithmetic
-    sig = np.empty(MINHASH_PERMS, dtype=np.uint64)
-    for i in range(MINHASH_PERMS):
-        vals = (int(_MH_A[i]) * h + int(_MH_B[i])) % _MERS_P
-        sig[i] = np.uint64(int(vals.min()))
-    return sig
+    h = _mod61(np.ascontiguousarray(shingle_hashes, dtype=np.uint64))  # (a·h)%p == (a·(h%p))%p
+    vals = _mulmod61(_MH_A[:, None], h[None, :]) + _MH_B[:, None]  # < 2p < 2^62
+    vals = np.where(vals >= _M61, vals - _M61, vals)
+    return vals.min(axis=1)
 
 
 class MinHashStage:
@@ -259,58 +355,173 @@ class MinHashStage:
         )
 
 
-def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5):
+def _empty_pairs() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                     "doc_b": pa.array([], type=pa.int64()),
+                     "jaccard": pa.array([], type=pa.float64())})
+
+
+def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
+                      max_bucket_docs: int = 1024):
     """Near-dup pairs via MinHash-LSH candidates + exact-Jaccard verify.
 
     → pyarrow Table (doc_a, doc_b, jaccard) sorted (doc_a, doc_b);
-    deterministic (fixed seeds).  The exact-Jaccard verify re-reads the
-    candidate docs' shingles (small set) on the driver.
+    deterministic (fixed seeds).
+
+    Every corpus-growing intermediate stays distributed:
+
+    1. candidate pairs come from a ``groupby(band_id, band_hash)`` with a
+       per-bucket doc cap (``max_bucket_docs``, logged when it trims —
+       one hot band hash, e.g. many near-empty docs, would otherwise
+       emit O(df²) pairs);
+    2. pair dedup across bands is a bucketed ``map_groups`` keyed on
+       ``hash(doc_a)``;
+    3. exact-Jaccard verify is a two-round distributed join: candidate
+       docs' shingle-HASH sets (sorted uint64 arrays — same blake2b-64
+       hashes the signatures use; a 64-bit collision is negligible) are
+       attached to each pair side via a doc-keyed bucket join, then
+       pairs reunite in a pair-keyed bucket join where the intersection
+       runs as ``np.intersect1d``.  Only candidate doc IDs (bounded by
+       the bucket cap) and the final verified pairs touch the driver.
     """
+    import logging
+
+    import ray
+
+    from coderag_ray.functions.hashing import splitmix64
+
     bands = docs_ds.map_batches(MinHashStage, fn_constructor_args=(n,),
                                 batch_format="pyarrow", concurrency=2)
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
+        if max_bucket_docs is not None and len(ids) > max_bucket_docs:
+            logging.getLogger(__name__).warning(
+                "minhash_lsh: band bucket with %d docs capped to %d (band_id=%s)",
+                len(ids), max_bucket_docs, int(g["band_id"].iloc[0]),
+            )
+            ids = ids[:max_bucket_docs]
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
         a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        return pa.table({"doc_a": pa.array(ids[a], type=pa.int64()),
+                         "doc_b": pa.array(ids[b], type=pa.int64())})
+
+    def add_bucket_a(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__bucket", pa.array((splitmix64(a) % np.uint64(64)).astype(np.int32)))
+
+    def dedup_bucket(g: pd.DataFrame) -> pa.Table:
+        return _from_pandas(g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]])
 
     cand = (
         bands.groupby(["band_id", "band_hash"])
         .map_groups(pairs_of_bucket, batch_format="pandas")
-        .to_pandas()
+        .map_batches(add_bucket_a, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()  # consumed twice (id collection + side expansion); candidate-scale, not corpus-scale
     )
-    cand = cand.drop_duplicates()
-    if len(cand) == 0:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    need_set = set(need)
 
-    def filt(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(pc.cast(t["doc_id"], pa.int64()),
-                                 value_set=pa.array(need, type=pa.int64())))
+    # distinct candidate doc IDs — ints only, bounded by the bucket cap;
+    # broadcast once for the docs semi-join
+    id_chunks = [
+        np.unique(np.concatenate([
+            b["doc_a"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False),
+        ]))
+        for b in cand.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not id_chunks:
+        return _empty_pairs()
+    need = np.unique(np.concatenate(id_chunks)).astype(np.int64)
+    need_ref = ray.put(need)
 
-    docs = docs_ds.map_batches(filt, batch_format="pyarrow").to_pandas()
-    sh = {int(d): _word_shingles(t, n) for d, t in zip(docs["doc_id"], docs["text"])}
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sh[int(a)], sh[int(b)]
-        u = len(sa | sb)
-        j = (len(sa & sb) / u) if u else 0.0
-        if j >= jaccard_threshold:
-            out_a.append(int(a)); out_b.append(int(b)); out_j.append(round6(j))
-    order = np.lexsort((out_b, out_a))
-    return pa.table(
-        {
-            "doc_a": pa.array(np.array(out_a, dtype=np.int64)[order] if out_a else [], type=pa.int64()),
-            "doc_b": pa.array(np.array(out_b, dtype=np.int64)[order] if out_b else [], type=pa.int64()),
-            "jaccard": pa.array(np.array(out_j, dtype=np.float64)[order] if out_j else [], type=pa.float64()),
-        }
+    hashes_type = pa.list_(pa.uint64())
+
+    def doc_hashes(t: pa.Table) -> pa.Table:
+        """Semi-join docs → (doc_id, hashes) for candidate docs only."""
+        need_ids = ray.get(need_ref)
+        t = t.filter(pc.is_in(pc.cast(t["doc_id"], pa.int64()),
+                              value_set=pa.array(need_ids, type=pa.int64())))
+        ids, arrs = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hs = np.unique(np.array([_hash64(s) for s in _word_shingles(text, n)],
+                                    dtype=np.uint64))
+            ids.append(did)
+            arrs.append(hs)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "doc_a": pa.array([None] * len(ids), type=pa.int64()),
+            "doc_b": pa.array([None] * len(ids), type=pa.int64()),
+            "hashes": pa.array(arrs, type=hashes_type),
+        })
+
+    def pair_sides(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_id = np.concatenate([a, b])
+        return pa.table({
+            "doc_id": pa.array(doc_id, type=pa.int64()),
+            "doc_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+            "doc_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+            "hashes": pa.array([None] * len(doc_id), type=hashes_type),
+        })
+
+    def add_bucket_docid(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__bucket", pa.array((splitmix64(d) % np.uint64(64)).astype(np.int32)))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        """Doc-keyed join round: give each pair side its doc's hash set."""
+        has = g["hashes"].notna()
+        lookup = dict(zip(g.loc[has, "doc_id"], g.loc[has, "hashes"]))
+        pr = g.loc[~has]
+        return pa.table({
+            "doc_a": pa.array(pr["doc_a"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "doc_b": pa.array(pr["doc_b"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "hashes": pa.array(
+                [lookup.get(d) for d in pr["doc_id"]], type=hashes_type),
+        })
+
+    sides = (
+        docs_ds.map_batches(doc_hashes, batch_format="pyarrow")
+        .union(cand.map_batches(pair_sides, batch_format="pyarrow"))
+        .map_batches(add_bucket_docid, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(attach, batch_format="pandas")
     )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        """Pair-keyed join round: both sides of a pair meet here."""
+        out_a, out_b, out_j = [], [], []
+        for (a, b), gg in g.groupby(["doc_a", "doc_b"], sort=False):
+            hs = [np.asarray(h, dtype=np.uint64) for h in gg["hashes"]
+                  if h is not None and not (isinstance(h, float) and np.isnan(h))]
+            if len(hs) < 2:
+                continue
+            h0, h1 = hs[0], hs[1]
+            u = h0.size + h1.size - np.intersect1d(h0, h1).size
+            j = (h0.size + h1.size - u) / u if u else 0.0
+            if j >= jaccard_threshold:
+                out_a.append(int(a)); out_b.append(int(b)); out_j.append(round6(j))
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(np.array(out_j, dtype=np.float64),
+                                             type=pa.float64())})
+
+    verified = (
+        sides.map_batches(add_bucket_a, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()  # final verified pairs only — small by construction
+    )
+    if len(verified) == 0:
+        return _empty_pairs()
+    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -321,14 +532,18 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5):
 def simhash_batch(t: pa.Table) -> pa.Table:
     """(doc_id, simhash) — 64-bit weighted sign hash over word frequencies."""
     ids, sims = [], []
+    shifts = np.arange(64, dtype=np.uint64)
     for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
         tf = Counter(w for w in text.lower().split() if w)
-        acc = np.zeros(64, dtype=np.int64)
-        for w, f in tf.items():
-            h = _hash64(w)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), f, -f)
-        sim = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        if tf:
+            hs = np.array([_hash64(w) for w in tf], dtype=np.uint64)
+            f = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
+            # one (words × 64) matrix op per doc instead of a per-word loop
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(bool)
+            acc = np.where(bits, f[:, None], -f[:, None]).sum(axis=0)
+        else:
+            acc = np.zeros(64, dtype=np.int64)
+        sim = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
         ids.append(did)
         sims.append(sim >> 1 if sim >= (1 << 63) else sim)  # keep int64-positive
     return pa.table(
@@ -355,6 +570,14 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.25):
     → Dataset (label, vec_a, vec_b, cos_sim round6) sorted within group.
     """
 
+    def project(t: pa.Table) -> pa.Table:
+        # rebuild schema before the label shuffle: drops extra columns
+        # and the unhashable b'pandas' schema metadata
+        return pa.table({"label": t["label"], "vec_id": t["vec_id"],
+                         "embedding": t["embedding"]})
+
+    emb_ds = emb_ds.map_batches(project, batch_format="pyarrow")
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
@@ -363,12 +586,12 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.25):
         S = En @ En.T
         a, b = np.triu_indices(len(ids), k=1)
         keep = S[a, b] >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "label": np.repeat(int(g["label"].iloc[0]), keep.sum()).astype(np.int64),
-                "vec_a": ids[a[keep]].astype(np.int64),
-                "vec_b": ids[b[keep]].astype(np.int64),
-                "cos_sim": round6(S[a[keep], b[keep]]),
+                "label": pa.array(np.repeat(int(g["label"].iloc[0]), keep.sum()), type=pa.int64()),
+                "vec_a": pa.array(ids[a[keep]].astype(np.int64), type=pa.int64()),
+                "vec_b": pa.array(ids[b[keep]].astype(np.int64), type=pa.int64()),
+                "cos_sim": pa.array(np.atleast_1d(round6(S[a[keep], b[keep]])), type=pa.float64()),
             }
         )
 

@@ -57,21 +57,35 @@ def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS):
     session_start:int64 epoch s, n_events).
     """
 
+    def project(t: pa.Table) -> pa.Table:
+        # column-prune before the user_id shuffle — only 3 of the 6
+        # event columns cross the exchange; rebuilding the table also
+        # drops the b'pandas' schema metadata (unhashable → Ray's
+        # "Failed to hash the schemas" warning in shuffle reduces)
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"], "ts": t["ts"]})
+
+    events_ds = events_ds.map_batches(project, batch_format="pyarrow")
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("int64").to_numpy() // 1_000_000  # epoch seconds
+        # explicit µs resolution: pandas/Arrow may surface datetime64 as ns
+        # or µs depending on the conversion path — pin it so the epoch-
+        # seconds division is resolution-independent
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) // 1_000_000
         new_sess = np.ones(len(ts), dtype=bool)
         new_sess[1:] = (ts[1:] - ts[:-1]) > gap_seconds
         sid = np.cumsum(new_sess) - 1
         out = pd.DataFrame({"sid": sid, "ts": ts})
         aggd = out.groupby("sid").agg(session_start=("ts", "min"), n_events=("ts", "size"))
         aggd = aggd.reset_index()
-        return pd.DataFrame(
+        # Arrow out (explicit schema): keeps blocks hashable/uniform for
+        # any downstream shuffle and avoids empty-group schema warnings
+        return pa.table(
             {
-                "user_id": np.repeat(int(g["user_id"].iloc[0]), len(aggd)).astype(np.int64),
-                "session_id": aggd["sid"].astype(np.int64),
-                "session_start": aggd["session_start"].astype(np.int64),
-                "n_events": aggd["n_events"].astype(np.int64),
+                "user_id": pa.array(np.repeat(int(g["user_id"].iloc[0]), len(aggd)), type=pa.int64()),
+                "session_id": pa.array(aggd["sid"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "session_start": pa.array(aggd["session_start"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "n_events": pa.array(aggd["n_events"].to_numpy(dtype=np.int64), type=pa.int64()),
             }
         )
 

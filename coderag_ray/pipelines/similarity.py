@@ -64,7 +64,17 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
         out_q, out_v, out_s = [], [], []
         kk = min(k + 1, S.shape[1])  # +1 in case self is in this batch
         for qi in range(S.shape[0]):
-            idx = np.argpartition(-S[qi], kk - 1)[:kk]
+            # exact per-batch top-kk under the GLOBAL ordering
+            # (sim DESC, vec_id ASC): argpartition alone keeps an
+            # arbitrary subset of candidates tied at the boundary, which
+            # can drop a tied smaller-vec_id winner (e.g. duplicate
+            # embeddings) — include all boundary ties, then order them
+            # by the real tie-break before truncating
+            part = np.argpartition(-S[qi], kk - 1)
+            boundary = S[qi][part[kk - 1]]
+            cand = np.flatnonzero(S[qi] >= boundary)
+            order = np.lexsort((vids[cand], -S[qi][cand]))[:kk]
+            idx = cand[order]
             out_q.extend([ids_b[qi]] * len(idx))
             out_v.extend(vids[idx].tolist())
             out_s.extend(S[qi, idx].tolist())

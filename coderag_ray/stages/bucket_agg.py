@@ -59,9 +59,14 @@ def bucketed_groupby_sum(
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
+    def agg(g: pd.DataFrame) -> pa.Table:
         s = g.groupby(keys, sort=False)[sum_col].sum().reset_index()
-        return s.rename(columns={sum_col: alias})
+        # emit Arrow, not pandas: pandas blocks reaching a downstream
+        # sort trip Ray's unhashable-PandasBlockSchema warning path;
+        # metadata stripped — a schema with b'pandas' metadata is
+        # unhashable (holds a dict) and triggers the same warning
+        return pa.Table.from_pandas(s.rename(columns={sum_col: alias}),
+                                    preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(_add_bucket(keys[0], num_buckets), batch_format="pyarrow")

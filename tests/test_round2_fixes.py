@@ -1,0 +1,171 @@
+"""Round-2 regression tests: ADVICE fixes (varint count=0, knn boundary
+ties, 63-bit doc-id pair keys) and the vectorized MinHash parity."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_varint_decode_count_zero():
+    from coderag_ray.functions import varint
+
+    buf = varint.encode(np.array([1, 300, 7], dtype=np.uint64))
+    out = varint.decode(buf, count=0)
+    assert out.size == 0 and out.dtype == np.uint64
+    # negative counts behave like zero rather than crashing
+    assert varint.decode(buf, count=-1).size == 0
+
+
+def test_minhash_vectorized_matches_exact_bigint():
+    from coderag_ray.pipelines.dedup import (
+        _MERS_P,
+        _MH_A,
+        _MH_B,
+        MINHASH_PERMS,
+        minhash_signature,
+    )
+
+    rng = np.random.default_rng(99)
+    for size in (1, 7, 333):
+        h = rng.integers(0, 2**64, size=size, dtype=np.uint64)
+        sig = minhash_signature(h)
+        ref = np.empty(MINHASH_PERMS, dtype=np.uint64)
+        ho = h.astype(object)
+        for i in range(MINHASH_PERMS):
+            vals = (int(_MH_A[i]) * ho + int(_MH_B[i])) % _MERS_P
+            ref[i] = np.uint64(int(vals.min()))
+        assert (sig == ref).all()
+    # empty-set sentinel
+    assert (minhash_signature(np.empty(0, dtype=np.uint64))
+            == np.iinfo(np.uint64).max).all()
+
+
+def test_mulmod61_exact_random():
+    from coderag_ray.pipelines.dedup import _MERS_P, _mulmod61
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, _MERS_P, size=1000).astype(np.uint64)
+    b = rng.integers(0, _MERS_P, size=1000).astype(np.uint64)
+    got = _mulmod61(a, b)
+    ref = np.array([(int(x) * int(y)) % _MERS_P for x, y in zip(a, b)], dtype=np.uint64)
+    assert (got == ref).all()
+    # boundary values
+    edge = np.array([0, 1, _MERS_P - 1, _MERS_P - 2], dtype=np.uint64)
+    for x in edge:
+        got = _mulmod61(np.full(4, x, dtype=np.uint64), edge)
+        ref = np.array([(int(x) * int(y)) % _MERS_P for y in edge], dtype=np.uint64)
+        assert (got == ref).all()
+
+
+def test_ngram_jaccard_63bit_doc_ids(ray_session):
+    """ADVICE: int64 pair packing silently corrupted doc_id >= 2^31;
+    pairs are kept as two columns now."""
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    big = 2**33
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([big + 5, big + 9, 3], type=pa.int64()),
+            "text": ["a b c d e f", "a b c d e f", "x y z w q r"],
+        }
+    )
+    out = ngram_jaccard_pairs(ray.data.from_arrow(tbl), top=10,
+                              max_shingle_df=None).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0].doc_a, out.iloc[0].doc_b) == (big + 5, big + 9)
+    assert out.iloc[0].jaccard == 1.0
+
+
+def test_ngram_jaccard_hot_shingle_cap(ray_session):
+    """max_shingle_df drops pairs that only share a hot shingle."""
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    # 5 docs all share one shingle ("common x y"); docs 1/2 also share
+    # a rare overlap
+    docs = ["common x y " + f"unique{i} a{i} b{i}" for i in range(5)]
+    docs[1] = "common x y same tail here"
+    docs[2] = "common x y same tail here"
+    tbl = pa.table({"doc_id": pa.array(list(range(5)), type=pa.int64()),
+                    "text": docs})
+    full = ngram_jaccard_pairs(ray.data.from_arrow(tbl), top=50,
+                               max_shingle_df=None).to_pandas()
+    capped = ngram_jaccard_pairs(ray.data.from_arrow(tbl), top=50,
+                                 max_shingle_df=4).to_pandas()
+    assert len(capped) < len(full)
+    # the true near-dup pair (identical docs) survives the cap
+    assert (1, 2) in set(zip(capped.doc_a, capped.doc_b))
+
+
+def test_knn_boundary_ties_keep_smallest_vec_id(ray_session):
+    """ADVICE: argpartition kept an arbitrary subset of candidates tied
+    at the k-boundary; exact duplicates must resolve by vec_id ASC."""
+    import ray.data
+
+    from coderag_ray.pipelines.similarity import knn_bruteforce
+
+    v = [1.0, 0.0, 0.0]
+    n = 50
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), type=pa.int64()),
+            "embedding": pa.array([v] * n, type=pa.list_(pa.float64())),
+        }
+    )
+    out = knn_bruteforce(ray.data.from_arrow(tbl), [0], k=5).to_pandas()
+    # all candidates tie at sim=1.0 → smallest vec_ids (excluding self) win
+    assert out.vec_id.tolist() == [1, 2, 3, 4, 5]
+    assert (out.cos_sim == 1.0).all()
+
+
+def test_minhash_lsh_deterministic_and_distributed(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    texts, ids = [], []
+    words = [f"tok{i}" for i in range(200)]
+    for d in range(40):
+        k = rng.integers(20, 40)
+        texts.append(" ".join(rng.choice(words, size=k)))
+        ids.append(d)
+    # inject exact dup + near dup
+    texts[10] = texts[5]
+    texts[11] = texts[5] + " extra"
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    out1 = minhash_lsh_pairs(ray.data.from_arrow(tbl)).to_pandas()
+    out2 = minhash_lsh_pairs(ray.data.from_arrow(tbl)).to_pandas()
+    assert out1.equals(out2)
+    assert (5, 10) in set(zip(out1.doc_a, out1.doc_b))
+    assert (out1.jaccard >= 0.5).all()
+    # sorted output contract
+    assert out1.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).equals(
+        out1.reset_index(drop=True))
+
+
+def test_session_windows_timestamp_resolution(ray_session):
+    """ADVICE: epoch-seconds conversion must be resolution-independent
+    (ns-backed input must give the same sessions as µs-backed)."""
+    import pandas as pd
+    import ray.data
+
+    from coderag_ray.pipelines.events import session_windows
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.zeros(4, dtype=np.int64),
+            "ts": [base, base + pd.Timedelta(seconds=10),
+                   base + pd.Timedelta(seconds=4000),
+                   base + pd.Timedelta(seconds=4010)],
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[ns]")  # force ns resolution
+    out = session_windows(ray.data.from_pandas(rows)).to_pandas()
+    assert len(out) == 2
+    starts = sorted(out.session_start)
+    assert starts[1] - starts[0] == 4000
