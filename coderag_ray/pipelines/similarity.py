@@ -94,48 +94,177 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
-def lsh_knn(emb_ds, query_ids: list[int], k: int = 5, multiprobe: int = 2):
-    """Approximate cosine top-k via random-hyperplane LSH buckets.
+def _bucket_of(En: np.ndarray, P: np.ndarray) -> np.ndarray:
+    bits = ((En @ P.T) > 0).astype(np.uint32)
+    return (bits << np.arange(LSH_PLANES, dtype=np.uint32)).sum(axis=1).astype(np.int32)
 
-    Vectors are bucketed by the sign pattern of ``LSH_PLANES`` fixed
-    hyperplanes; each query scans its own bucket plus ``multiprobe``
-    neighbor buckets (lowest-|margin| bit flips).  → same schema as
-    :func:`knn_bruteforce` plus ``n_scanned``.
-    """
-    pdf = emb_ds.to_pandas()  # index-build side; at scale this is a
-    # groupby(bucket) → per-bucket parquet layout instead
-    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    En = _normalize(E)
-    vids = pdf["vec_id"].to_numpy().astype(np.int64)
-    P = _planes(E.shape[1])
-    proj = En @ P.T
-    bits = (proj > 0).astype(np.uint32)
-    buckets = (bits << np.arange(LSH_PLANES, dtype=np.uint32)).sum(axis=1)
-    by_bucket: dict[int, list[int]] = {}
-    for i, b in enumerate(buckets):
-        by_bucket.setdefault(int(b), []).append(i)
 
-    rows = []
-    qpos = {int(v): i for i, v in enumerate(vids)}
-    for qid in sorted(query_ids):
-        qi = qpos[qid]
-        margins = np.abs(proj[qi])
-        flip_order = np.argsort(margins)[:multiprobe]
-        probe = [int(buckets[qi])]
+def build_lsh_index(emb_ds, index_dir: str) -> None:
+    """Write the bucket-partitioned LSH layout: vectors are assigned a
+    random-hyperplane bucket in ``map_batches`` and land in one parquet
+    partition per bucket (``bucket=NNNN/``).  Probes then read ONLY the
+    partitions they need — nothing corpus-sized ever reaches the
+    driver, and on a cluster each partition is written/read by workers
+    near the data.  ``bucket_id`` is duplicated as a data column because
+    ``partition_cols`` strips the partition key from the files."""
+    import pyarrow.compute as pc
+
+    def assign(t: pa.Table) -> pa.Table:
+        E = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        b = _bucket_of(_normalize(E), _planes(E.shape[1]))
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "embedding": t["embedding"],
+                "bucket_id": pa.array(b, type=pa.int32()),
+                "bucket": pa.array(b, type=pa.int32()),
+            }
+        )
+
+    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+
+
+def _probe_buckets(Qn: np.ndarray, multiprobe: int) -> list[set[int]]:
+    """Per-query probe set: own bucket + ``multiprobe`` single-bit flips
+    of the lowest-|margin| hyperplanes (most likely to hold neighbors)."""
+    P = _planes(Qn.shape[1])
+    proj = Qn @ P.T
+    own = _bucket_of(Qn, P)
+    out = []
+    for qi in range(len(Qn)):
+        flip_order = np.argsort(np.abs(proj[qi]))[:multiprobe]
+        probe = {int(own[qi])}
         for f in flip_order:
-            probe.append(int(buckets[qi]) ^ (1 << int(f)))
-        cand_idx = sorted({i for b in probe for i in by_bucket.get(b, []) if i != qi})
-        if not cand_idx:
-            continue
-        sims = En[cand_idx] @ En[qi]
-        order = np.lexsort((np.array(cand_idx), -sims))[:k]
-        for o in order:
-            rows.append((qid, int(vids[cand_idx[o]]), round6(float(sims[o])), len(cand_idx)))
+            probe.add(int(own[qi]) ^ (1 << int(f)))
+        out.append(probe)
+    return out
+
+
+def probe_paths(index_dir: str, buckets: set[int]) -> list[str]:
+    """Parquet files a probe of ``buckets`` actually reads (expanded —
+    ``read_parquet`` does not expand directories inside a path list);
+    exposed so tests can assert pruning (probed ⊂ all partitions)."""
+    import os
+
+    files = []
+    for b in sorted(buckets):
+        p = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(p):
+            files.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                         if f.endswith(".parquet"))
+    return files
+
+
+def lsh_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
+              k: int = 5, multiprobe: int = 2) -> pa.Table:
+    """Probe the bucket-partitioned layout for each query vector.
+
+    Reads ONLY the probed bucket partitions (partition-pruned
+    ``read_parquet``); scoring is a per-batch matmul against the
+    broadcast query matrix with per-batch top-k (boundary ties kept),
+    and only top-k candidate rows + per-batch scan counts reach the
+    driver.  Self-matches (same vec_id as the query id) are excluded.
+    → (query_id, vec_id, cos_sim round6, n_scanned), ordered
+    (query_id, cos_sim DESC, vec_id).
+    """
+    import ray
+    import ray.data
+
+    Qn = _normalize(np.asarray(Q, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probes = _probe_buckets(Qn, multiprobe)
+    paths = probe_paths(index_dir, set().union(*probes) if probes else set())
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "vec_id": pa.array([], type=pa.int64()),
+                      "cos_sim": pa.array([], type=pa.float64()),
+                      "n_scanned": pa.array([], type=pa.int64())})
+    if not paths or not len(qids):
+        return empty
+    q_ref = ray.put((qids, Qn, probes))
+
+    def batch_score(t: pa.Table) -> pa.Table:
+        ids_b, Qb, probes_b = ray.get(q_ref)
+        E = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        En = _normalize(E)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bks = t["bucket_id"].to_numpy(zero_copy_only=False).astype(np.int32)
+        out_q, out_v, out_s, out_n = [], [], [], []
+        for qi in range(len(ids_b)):
+            pset = np.fromiter(probes_b[qi], dtype=np.int32)
+            mask = np.isin(bks, pset) & (vids != ids_b[qi])
+            n = int(mask.sum())
+            if n == 0:
+                continue
+            sims = En[mask] @ Qb[qi]
+            mvids = vids[mask]
+            kk = min(k, n)
+            part = np.argpartition(-sims, kk - 1)
+            boundary = sims[part[kk - 1]]
+            cand = np.flatnonzero(sims >= boundary)
+            order = np.lexsort((mvids[cand], -sims[cand]))[:kk]
+            idx = cand[order]
+            out_q.extend([ids_b[qi]] * (len(idx) + 1))
+            out_v.extend(mvids[idx].tolist() + [-1])  # -1 row carries the scan count
+            out_s.extend(sims[idx].tolist() + [0.0])
+            out_n.extend([0] * len(idx) + [n])
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "cos_sim": pa.array(out_s, type=pa.float64()),
+                         "n_scanned": pa.array(out_n, type=pa.int64())})
+
+    cand = (ray.data.read_parquet(paths)
+            .map_batches(batch_score, batch_format="pyarrow", batch_size=4096)
+            .to_pandas())  # top-k rows + scan-count rows only — tiny
+    if len(cand) == 0:
+        return empty
+    scans = cand[cand.vec_id < 0].groupby("query_id")["n_scanned"].sum()
+    rows = cand[cand.vec_id >= 0]
+    rows = rows.sort_values(["query_id", "cos_sim", "vec_id"],
+                            ascending=[True, False, True])
+    top = rows.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     return pa.table(
         {
-            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], type=pa.int64()),
-            "cos_sim": pa.array([r[2] for r in rows], type=pa.float64()),
-            "n_scanned": pa.array([r[3] for r in rows], type=pa.int64()),
+            "query_id": pa.array(top["query_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "vec_id": pa.array(top["vec_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "cos_sim": pa.array(round6(top["cos_sim"].to_numpy()), type=pa.float64()),
+            "n_scanned": pa.array(top["query_id"].map(scans).to_numpy(dtype=np.int64), type=pa.int64()),
         }
     )
+
+
+def lsh_knn(emb_ds, query_ids: list[int], k: int = 5, multiprobe: int = 2,
+            index_dir: str | None = None):
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Builds (or reuses, when ``index_dir`` is given and populated) the
+    bucket-partitioned layout, then probes it — see
+    :func:`build_lsh_index` / :func:`lsh_probe`.  → same schema as
+    :func:`knn_bruteforce` plus ``n_scanned``.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    own = index_dir is None
+    if own:
+        index_dir = tempfile.mkdtemp(prefix="coderag_lsh_")
+    try:
+        if not any(n.startswith("bucket=") for n in os.listdir(index_dir)):
+            build_lsh_index(emb_ds, index_dir)
+        qset = pa.array(sorted(query_ids), type=pa.int64())
+
+        def grab(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=qset))
+
+        q = (emb_ds.map_batches(grab, batch_format="pyarrow")
+             .to_pandas().sort_values("vec_id"))
+        Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+        return lsh_probe(index_dir, q["vec_id"].to_numpy(dtype=np.int64), Q,
+                         k=k, multiprobe=multiprobe)
+    finally:
+        if own:
+            shutil.rmtree(index_dir, ignore_errors=True)

@@ -169,3 +169,41 @@ def test_session_windows_timestamp_resolution(ray_session):
     assert len(out) == 2
     starts = sorted(out.session_start)
     assert starts[1] - starts[0] == 4000
+
+
+def test_lsh_bucket_layout_probed_not_scanned(ray_session, tmp_path):
+    """The LSH index is a bucket-partitioned parquet layout and probes
+    read only their buckets' files (partition pruning)."""
+    import os
+
+    import ray.data
+
+    from coderag_ray.pipelines.similarity import (
+        _normalize,
+        _probe_buckets,
+        build_lsh_index,
+        knn_bruteforce,
+        lsh_probe,
+        probe_paths,
+    )
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "lsh")
+    build_lsh_index(emb, d)
+    all_parts = [n for n in os.listdir(d) if n.startswith("bucket=")]
+    assert len(all_parts) > 10
+
+    q = emb.to_pandas().head(5).sort_values("vec_id")
+    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    probed = probe_paths(d, set().union(*_probe_buckets(_normalize(Q), 2)))
+    assert 0 < len(probed) < len(all_parts)  # pruned, not scanned
+
+    out = lsh_probe(d, q["vec_id"].to_numpy(), Q, k=3).to_pandas()
+    # every returned similarity is the exact cosine (verified against
+    # brute force), and scan counts stay bucket-sized
+    bf = knn_bruteforce(emb, q["vec_id"].tolist(), k=499).to_pandas()
+    bfmap = {(r.query_id, r.vec_id): r.cos_sim for r in bf.itertuples()}
+    for r in out.itertuples():
+        assert abs(bfmap[(r.query_id, r.vec_id)] - r.cos_sim) < 2e-6
+    if len(out):
+        assert (out.n_scanned < 500).all()
