@@ -39,7 +39,7 @@ class IndexConfig:
     """
 
     tokenizer: str = "code"  # "code" (camelCase/snake split) | "simple" (tfidf fallback regex)
-    chunker: str = "chars"  # "chars" (reference fallback windows) | "lines" (AST stand-in)
+    chunker: str = "chars"  # "chars" (reference fallback windows) | "lines" (AST stand-in) | "ast" (stdlib-ast semantic chunks for python, char fallback otherwise)
     max_chunk_size: int = 1000  # chars — embeddings.ts:266
     chunk_overlap: int = 100  # chars — embeddings.ts:267
     max_file_size: int = 1024 * 1024  # bytes — indexer.ts:100

@@ -37,6 +37,8 @@ CHUNK_COLUMNS = ["doc_id", "part_id", "chunk_id", "chunk_type", "start_line", "e
 def make_chunker(config: IndexConfig):
     if config.chunker == "lines":
         return _make_line_chunker(config)
+    if config.chunker == "ast":
+        return _make_ast_chunker(config)
     if config.chunker != "chars":
         raise ValueError(f"unknown chunker {config.chunker!r}")
     size, overlap = config.max_chunk_size, config.chunk_overlap
@@ -64,6 +66,84 @@ def make_chunker(config: IndexConfig):
                 "end_offset": pa.array(end),
                 "n_chunk_chars": pa.array(end - start),
                 "content": text_arr,
+                "chunk_sha256": batch_sha256(text_arr),
+                "content_sha256": t["content_sha256"].take(take),
+                "repo": t["repo"].take(take),
+                "path": t["path"].take(take),
+                "commit": t["commit"].take(take),
+                "lang": t["lang"].take(take),
+            }
+        )
+
+    return chunk
+
+
+def _make_ast_chunker(config: IndexConfig):
+    """Semantic AST chunking for ``lang == "python"`` docs via the
+    stdlib-``ast`` chunker (``chunkCodeByAST``,
+    ``ast-chunking.ts:183-225``); everything else — and any file the
+    parser rejects — takes the reference's character-window fallback
+    (``createFallbackChunks``, ``ast-chunking.ts:59-68``: type
+    ``text``, lines 0, ``metadata.fallback = true``).  Emits the extra
+    ``chunk_meta`` column (canonical-JSON scope/entities per chunk,
+    ``ast-chunking.ts:76-88``); the partition writer selects its own
+    columns, so downstream stages are unaffected."""
+    import json
+
+    from coderag_ray.functions.ast_chunker import chunk_python_ast
+    from coderag_ray.functions.chunker import batch_chunk_offsets
+
+    size, overlap = config.max_chunk_size, config.chunk_overlap
+
+    def chunk(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        contents = t["content"].to_pylist()
+        cols: dict[str, list] = {c: [] for c in
+                                 ("doc_idx", "chunk_id", "type", "sl", "el",
+                                  "start", "end", "text", "meta")}
+
+        def emit(di, ci, typ, sl, el, s, e, text, meta):
+            cols["doc_idx"].append(di)
+            cols["chunk_id"].append(ci)
+            cols["type"].append(typ)
+            cols["sl"].append(sl)
+            cols["el"].append(el)
+            cols["start"].append(s)
+            cols["end"].append(e)
+            cols["text"].append(text)
+            cols["meta"].append(meta)
+
+        for di, (lang, c) in enumerate(zip(langs, contents)):
+            chunks = chunk_python_ast(c, size) if lang == "python" else None
+            if chunks is not None:
+                for ci, ch in enumerate(chunks):
+                    emit(di, ci, ch.type, ch.start_line, ch.end_line,
+                         ch.start_offset, ch.end_offset, ch.content, ch.meta)
+            else:
+                n = np.array([len(c)], dtype=np.int64)
+                _, cid, start, end = batch_chunk_offsets(n, size, overlap)
+                for ci, s, e in zip(cid.tolist(), start.tolist(), end.tolist()):
+                    emit(di, ci, "text", 0, 0, s, e,
+                         c if (s == 0 and e == len(c)) else c[s:e],
+                         json.dumps({"fallback": True, "index": ci}, sort_keys=True))
+
+        take = pa.array(np.array(cols["doc_idx"], dtype=np.int64))
+        text_arr = pa.array(cols["text"], type=pa.string())
+        start = np.array(cols["start"], dtype=np.int64)
+        end = np.array(cols["end"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(take),
+                "part_id": t["part_id"].take(take),
+                "chunk_id": pa.array(np.array(cols["chunk_id"], dtype=np.int64)),
+                "chunk_type": pa.array(cols["type"], type=pa.string()),
+                "start_line": pa.array(np.array(cols["sl"], dtype=np.int32)),
+                "end_line": pa.array(np.array(cols["el"], dtype=np.int32)),
+                "start_offset": pa.array(start),
+                "end_offset": pa.array(end),
+                "n_chunk_chars": pa.array(end - start),
+                "content": text_arr,
+                "chunk_meta": pa.array(cols["meta"], type=pa.string()),
                 "chunk_sha256": batch_sha256(text_arr),
                 "content_sha256": t["content_sha256"].take(take),
                 "repo": t["repo"].take(take),
