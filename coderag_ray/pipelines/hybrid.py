@@ -50,6 +50,104 @@ def build_embeddings(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> in
     return int(sum(ray.get(futures)))
 
 
+ANN_DIRNAME = "ann"
+
+
+def build_vector_ann(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> int:
+    """Build the ANN candidate index for :func:`vector_topk_ann`: the
+    random-hyperplane LSH bucket layout from
+    :mod:`coderag_ray.pipelines.similarity` applied to the per-partition
+    embedding sidecars (the reference's LanceDB ANN store,
+    ``vector-storage.ts:67-377``, re-expressed as a partitioned-parquet
+    layout).
+
+    One Ray task per index partition — no shuffle: each task joins its
+    partition's ``embeddings.parquet`` with the ordinal-aligned doc ids
+    and appends one file per touched bucket under
+    ``ann/bucket=NNNN/part-<pid>.parquet`` (tmp+rename, so retries
+    overwrite their own output).  Returns rows indexed.
+    """
+    import ray
+
+    from coderag_ray.pipelines.similarity import _bucket_of, _planes
+
+    reader = IndexReader(index_dir)
+    ann_dir = os.path.join(index_dir, ANN_DIRNAME)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    @ray.remote
+    def ann_part(part_dir: str, pid: int, ann_root: str) -> int:
+        emb = pq.read_table(os.path.join(part_dir, "embeddings.parquet"))
+        docs = pq.read_table(os.path.join(part_dir, "docs.parquet"),
+                             columns=["doc_id", "chunk_id"])
+        E = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+        buckets = _bucket_of(E, _planes(E.shape[1]))  # embeddings are unit vectors
+        tbl = pa.table(
+            {
+                "part_id": pa.array(np.full(len(buckets), pid, dtype=np.int64)),
+                "ordinal": emb["ordinal"],
+                "doc_id": docs["doc_id"],
+                "chunk_id": docs["chunk_id"],
+                "bucket": pa.array(buckets, type=pa.int32()),
+                "embedding": emb["embedding"],
+            }
+        )
+        order = np.argsort(buckets, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        b_sorted = buckets[order]
+        starts = np.flatnonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])
+        ends = np.r_[starts[1:], len(b_sorted)]
+        for s, e in zip(starts, ends):
+            b = int(b_sorted[s])
+            bdir = os.path.join(ann_root, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            path = os.path.join(bdir, f"part-{pid:05d}.parquet")
+            tmp = f"{path}.tmp{os.getpid()}"
+            pq.write_table(tbl.slice(s, e - s).drop_columns(["bucket"]), tmp,
+                           compression="zstd")
+            os.replace(tmp, path)
+        return len(buckets)
+
+    futures = [ann_part.remote(reader.part_dir(pid), pid, ann_dir)
+               for pid in reader.partitions]
+    return int(sum(ray.get(futures)))
+
+
+def vector_topk_ann(reader: IndexReader, query: str, k: int,
+                    dimensions: int = DEFAULT_DIMENSIONS,
+                    multiprobe: int = 2) -> pa.Table:
+    """ANN cosine top-k: probe only the query's LSH buckets (plus
+    ``multiprobe`` lowest-margin bit flips) in the ``ann/`` layout and
+    verify candidates with exact cosine — same schema as
+    :func:`vector_topk`, approximate recall by construction.  Falls back
+    to the exact scan when the ANN index hasn't been built."""
+    from coderag_ray.pipelines.similarity import _probe_buckets, probe_paths
+
+    ann_dir = os.path.join(reader.index_dir, ANN_DIRNAME)
+    if not os.path.isdir(ann_dir):
+        return vector_topk(reader, query, k, dimensions)
+    qv = mock_embedding(query, dimensions)
+    probes = _probe_buckets(qv[None, :], multiprobe)[0]
+    paths = probe_paths(ann_dir, probes)
+    if not paths:
+        return vector_topk(reader, query, k, dimensions)
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+    E = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    sims = E @ qv
+    doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    chunk_ids = tbl["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    top = np.lexsort((chunk_ids, doc_ids, -sims))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[top], type=pa.int64()),
+            "chunk_id": pa.array(chunk_ids[top], type=pa.int64()),
+            "similarity": pa.array(sims[top], type=pa.float64()),
+            "part_id": pa.array(tbl["part_id"].to_numpy(zero_copy_only=False)[top], type=pa.int64()),
+            "ordinal": pa.array(tbl["ordinal"].to_numpy(zero_copy_only=False)[top], type=pa.int64()),
+        }
+    )
+
+
 def vector_topk(reader: IndexReader, query: str, k: int,
                 dimensions: int = DEFAULT_DIMENSIONS) -> pa.Table:
     """Exact cosine top-k over the chunk-embedding sidecars."""
@@ -83,10 +181,19 @@ def vector_topk(reader: IndexReader, query: str, k: int,
 
 def hybrid_search(index: IndexReader | str, query: str, k: int = 10,
                   vector_weight: float = 0.5,
-                  dimensions: int = DEFAULT_DIMENSIONS) -> pa.Table:
-    """→ (doc_id, chunk_id, score, method, similarity, bm25_score)."""
+                  dimensions: int = DEFAULT_DIMENSIONS,
+                  use_ann: bool = False) -> pa.Table:
+    """→ (doc_id, chunk_id, score, method, similarity, bm25_score).
+
+    ``use_ann=True`` sources the vector side from the LSH bucket index
+    (:func:`vector_topk_ann`) instead of the exact partition scan —
+    approximate recall, bucket-local latency; build it once with
+    :func:`build_vector_ann`."""
     reader = index if isinstance(index, IndexReader) else IndexReader(index)
-    vec = vector_topk(reader, query, k, dimensions)
+    if use_ann:
+        vec = vector_topk_ann(reader, query, k, dimensions)
+    else:
+        vec = vector_topk(reader, query, k, dimensions)
     bm = search(reader, query, k, with_doc_columns=False)
 
     max_vec = max([s for s in vec["similarity"].to_pylist()] + [0.01])
