@@ -207,3 +207,50 @@ def test_lsh_bucket_layout_probed_not_scanned(ray_session, tmp_path):
         assert abs(bfmap[(r.query_id, r.vec_id)] - r.cos_sim) < 2e-6
     if len(out):
         assert (out.n_scanned < 500).all()
+
+
+def test_session_windows_two_phase_hot_user(ray_session):
+    """A hot user whose events span many coarse buckets gets exactly the
+    same sessions as the single-phase computation; phase-1 groups stay
+    bucket-sized."""
+    import pandas as pd
+    import ray.data
+
+    from coderag_ray.pipelines.events import session_windows
+
+    rng = np.random.default_rng(11)
+    base = 1_700_000_000
+    # hot user 7: 5000 events over ~10 days (bursts with >gap holes)
+    ts = [base]
+    for _ in range(4999):
+        step = int(rng.integers(1, 60)) if rng.random() < 0.97 else 2000
+        ts.append(ts[-1] + step)
+    hot = pd.DataFrame({
+        "event_id": np.arange(5000, dtype=np.int64),
+        "user_id": np.full(5000, 7, dtype=np.int64),
+        "ts": pd.to_datetime(np.array(ts) * 1_000_000_000),
+    })
+    cold = pd.DataFrame({
+        "event_id": np.arange(5000, 5004, dtype=np.int64),
+        "user_id": np.full(4, 8, dtype=np.int64),
+        "ts": pd.to_datetime((base + np.array([0, 10, 4000, 4005])) * 1_000_000_000),
+    })
+    df = pd.concat([hot, cold], ignore_index=True)
+    out = session_windows(ray.data.from_pandas(df)).to_pandas()
+
+    # single-phase reference computed directly
+    def ref_sessions(sub):
+        s = np.sort(sub)
+        brk = np.ones(len(s), dtype=bool)
+        brk[1:] = (s[1:] - s[:-1]) > 1800
+        sid = np.cumsum(brk) - 1
+        return {int(i): (int(s[sid == i].min()), int((sid == i).sum()))
+                for i in np.unique(sid)}
+
+    for uid, sub in (("hot", np.array(ts)), ("cold", base + np.array([0, 10, 4000, 4005]))):
+        u = 7 if uid == "hot" else 8
+        ref = ref_sessions(sub)
+        got = out[out.user_id == u].sort_values("session_id")
+        assert len(got) == len(ref), (uid, len(got), len(ref))
+        for r in got.itertuples():
+            assert ref[int(r.session_id)] == (int(r.session_start), int(r.n_events))
