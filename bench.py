@@ -170,11 +170,53 @@ def run_bench() -> dict:
     results["batch_queries_per_s"] = round(len(batch_queries) / batch_wall, 1)
     results["batch_query_n"] = len(batch_queries)
 
+    # steady-state batch throughput: long-lived scorer actors (the real
+    # deployment shape) — pool spin-up + index preload excluded by
+    # timing only the post-warm-up feed (VERDICT r1: report both)
+    RemoteScorer = ray.remote(num_cpus=2)(BatchScorer)
+    actors = [RemoteScorer.remote(index_dir, 10) for _ in range(n_actors)]
+    warm = pa.table({"query_id": pa.array([0], type=pa.int64()),
+                     "text": pa.array([queries[0]])})
+    ray.get([a.__call__.remote(warm) for a in actors])  # init + preload done
+    per_batch = max(4, len(batch_queries) // (n_actors * 8))
+    batches = [
+        pa.table({"query_id": pa.array(range(i, min(i + per_batch, len(batch_queries))), type=pa.int64()),
+                  "text": pa.array(batch_queries[i:i + per_batch])})
+        for i in range(0, len(batch_queries), per_batch)
+    ]
+    t0 = time.perf_counter()
+    ray.get([actors[i % n_actors].__call__.remote(b) for i, b in enumerate(batches)])
+    steady_wall = time.perf_counter() - t0
+    results["batch_steady_queries_per_s"] = round(len(batch_queries) / steady_wall, 1)
+    for a in actors:
+        ray.kill(a)
+
     if not os.environ.get("CODERAG_BENCH_SCALING_ONLY"):
         # incremental rebuild (resume no-op) — checkpoint overhead
         t0 = time.perf_counter()
         build_index(ray.data.read_parquet(corpus_path), index_dir, cfg, resume=True)
         results["resume_noop_s"] = round(time.perf_counter() - t0, 3)
+
+        # hybrid search: embedding sidecars + LSH ANN index, then p95
+        # latency exact-scan vs bucket-probe (VERDICT r1 item 6)
+        from coderag_ray.pipelines.hybrid import (
+            build_embeddings, build_vector_ann, hybrid_search)
+
+        t0 = time.perf_counter()
+        build_embeddings(index_dir, dimensions=32)
+        results["build_embeddings_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        build_vector_ann(index_dir, dimensions=32)
+        results["build_vector_ann_s"] = round(time.perf_counter() - t0, 3)
+        hyb_queries = queries[:12]
+        for label, use_ann in (("hybrid_p95_ms", False), ("hybrid_ann_p95_ms", True)):
+            hybrid_search(reader, hyb_queries[0], 10, dimensions=32, use_ann=use_ann)
+            hl = []
+            for q in hyb_queries:
+                tq = time.perf_counter()
+                hybrid_search(reader, q, 10, dimensions=32, use_ann=use_ann)
+                hl.append(time.perf_counter() - tq)
+            results[label] = round(float(np.percentile(np.array(hl) * 1000, 95)), 2)
 
         # sf-dir table pipelines
         import __ray_entry__ as entrymod

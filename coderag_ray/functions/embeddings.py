@@ -21,11 +21,21 @@ DEFAULT_DIMENSIONS = 64  # reference default is 1536 (embeddings.ts:101); kept s
 
 def js_string_hash(text: str) -> int:
     """32-bit JS rolling hash over UTF-16 code units:
-    ``h = (Math.imul(31, h) + charCodeAt(i)) | 0`` — embeddings.ts:44-50."""
-    h = 0
-    units = np.frombuffer(text.encode("utf-16-le"), dtype="<u2")
-    for c in units.tolist():
-        h = (31 * h + c) & 0xFFFFFFFF
+    ``h = (Math.imul(31, h) + charCodeAt(i)) | 0`` — embeddings.ts:44-50.
+
+    Vectorized exactly: the recurrence unrolls to
+    ``h = Σ c_i · 31^(n-1-i) (mod 2^32)``, and numpy uint32 arithmetic
+    wraps mod 2^32, so powers/products/sum reproduce the scalar loop
+    bit-for-bit (asserted in tests) without a per-char Python loop."""
+    units = np.frombuffer(text.encode("utf-16-le"), dtype="<u2").astype(np.uint32)
+    n = len(units)
+    if n == 0:
+        return 0
+    pw = np.empty(n, dtype=np.uint32)
+    pw[0] = 1
+    if n > 1:
+        np.multiply.accumulate(np.full(n - 1, 31, dtype=np.uint32), out=pw[1:])
+    h = int((units * pw[::-1]).sum(dtype=np.uint32))
     return h - 0x100000000 if h >= 0x80000000 else h
 
 

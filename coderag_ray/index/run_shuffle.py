@@ -33,6 +33,40 @@ RUNS_DIRNAME = "_runs"
 _SHM = "/dev/shm"
 
 
+def _rebuild_list(la: pa.Array | pa.ChunkedArray, values: pa.Array) -> pa.ListArray:
+    """Fresh zero-based list array over ``values`` with ``la``'s lengths
+    (slice-safe: ``la.offsets`` of a sliced list still points into the
+    parent buffer, so lengths are recomputed instead)."""
+    lens = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int32)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets), values)
+
+
+def _encode_terms_dict(t: pa.Table) -> pa.Table:
+    """Dictionary-encode the ``terms`` list values for the spill file:
+    the run stream carries int32 codes + one small per-run vocabulary
+    instead of a full string per posting — the build is
+    memory-bandwidth-bound at high core counts, so bytes through
+    DRAM/scratch are the scaling currency (VERDICT r1 §7)."""
+    col = t["terms"]
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = _rebuild_list(la, la.flatten().dictionary_encode())
+    return t.set_column(t.schema.get_field_index("terms"), "terms", enc)
+
+
+def _decode_terms_dict(t: pa.Table) -> pa.Table:
+    """Inverse of :func:`_encode_terms_dict` (applied per run file right
+    after read, so no cross-file dictionary unification is needed)."""
+    col = t["terms"]
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    vals = la.flatten()
+    if pa.types.is_dictionary(vals.type):
+        vals = vals.cast(pa.string())
+    dec = _rebuild_list(la, vals)
+    return t.set_column(t.schema.get_field_index("terms"), "terms", dec)
+
+
 def _choose_run_dir(index_dir: str, estimated_bytes: int | None = None) -> str:
     """Transient run files go to RAM-backed storage when available —
     they are written once and read once within the build, so durable
@@ -89,9 +123,10 @@ def make_run_writer(run_dir: str):
             # core counts, so spending a little lz4 CPU to shrink traffic
             # is the right trade (measured on this box)
             opts = pa.ipc.IpcWriteOptions(compression="lz4")
+            part_tbl = _encode_terms_dict(s.slice(b, e - b))
             with pa.OSFile(tmp, "wb") as f:
-                with pa.ipc.new_file(f, s.schema, options=opts) as w:
-                    w.write_table(s.slice(b, e - b))
+                with pa.ipc.new_file(f, part_tbl.schema, options=opts) as w:
+                    w.write_table(part_tbl)
             os.replace(tmp, path)
             out_p.append(pid)
             out_f.append(path)
@@ -134,7 +169,7 @@ def run_shuffle_build(tokenized, index_dir: str, config,
         tables = []
         for f in sorted(files):
             with pa.memory_map(f, "r") as src:
-                tables.append(pa.ipc.open_file(src).read_all())
+                tables.append(_decode_terms_dict(pa.ipc.open_file(src).read_all()))
         group = pa.concat_tables(tables).combine_chunks()
         return write_partition(group, idx_dir, cfg)
 

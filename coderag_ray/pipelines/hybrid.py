@@ -80,7 +80,7 @@ def build_vector_ann(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> in
         emb = pq.read_table(os.path.join(part_dir, "embeddings.parquet"))
         docs = pq.read_table(os.path.join(part_dir, "docs.parquet"),
                              columns=["doc_id", "chunk_id"])
-        E = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+        E = _emb_matrix(emb)
         buckets = _bucket_of(E, _planes(E.shape[1]))  # embeddings are unit vectors
         tbl = pa.table(
             {
@@ -131,8 +131,8 @@ def vector_topk_ann(reader: IndexReader, query: str, k: int,
     paths = probe_paths(ann_dir, probes)
     if not paths:
         return vector_topk(reader, query, k, dimensions)
-    tbl = pa.concat_tables([pq.read_table(p) for p in paths])
-    E = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    tbl = pa.concat_tables([_ann_table_cached(p) for p in paths])
+    E = _emb_matrix(tbl)
     sims = E @ qv
     doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     chunk_ids = tbl["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -148,6 +148,44 @@ def vector_topk_ann(reader: IndexReader, query: str, k: int,
     )
 
 
+def _emb_matrix(tbl: pa.Table) -> np.ndarray:
+    """Fixed-dim list<float64> column → (n, d) matrix, zero-copy."""
+    from coderag_ray.pipelines.similarity import emb_matrix
+
+    return emb_matrix(tbl["embedding"])
+
+
+_EMB_CACHE: dict[tuple[str, float], np.ndarray] = {}
+_ANN_CACHE: dict[tuple[str, float], pa.Table] = {}
+
+
+def _ann_table_cached(path: str) -> pa.Table:
+    """ANN bucket file, cached by (path, mtime) — probes hit the same
+    hot buckets repeatedly and must not re-read parquet per query."""
+    key = (path, os.path.getmtime(path))
+    tbl = _ANN_CACHE.get(key)
+    if tbl is None:
+        for k in [k for k in _ANN_CACHE if k[0] == path]:
+            del _ANN_CACHE[k]
+        tbl = pq.read_table(path)
+        _ANN_CACHE[key] = tbl
+    return tbl
+
+
+def _emb_matrix_cached(path: str) -> np.ndarray:
+    """Per-partition embedding matrix, cached by (path, mtime) — the
+    exact scan serves many queries per process and must not re-read the
+    sidecar per query (a rebuild changes mtime → fresh entry)."""
+    key = (path, os.path.getmtime(path))
+    E = _EMB_CACHE.get(key)
+    if E is None:
+        for k in [k for k in _EMB_CACHE if k[0] == path]:  # drop stale builds
+            del _EMB_CACHE[k]
+        E = _emb_matrix(pq.read_table(path))
+        _EMB_CACHE[key] = E
+    return E
+
+
 def vector_topk(reader: IndexReader, query: str, k: int,
                 dimensions: int = DEFAULT_DIMENSIONS) -> pa.Table:
     """Exact cosine top-k over the chunk-embedding sidecars."""
@@ -158,8 +196,7 @@ def vector_topk(reader: IndexReader, query: str, k: int,
         if not os.path.exists(path):
             raise FileNotFoundError(f"no embeddings sidecar in partition {pid}; "
                                     "run build_embeddings() first")
-        tbl = pq.read_table(path)
-        E = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+        E = _emb_matrix_cached(path)
         sims = E @ qv  # embeddings are unit vectors
         h = reader.partition(pid)
         top = np.lexsort((h.chunk_ids, h.doc_ids, -sims))[:k]

@@ -37,6 +37,14 @@ def _normalize(E: np.ndarray) -> np.ndarray:
     return E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
 
 
+def emb_matrix(col) -> np.ndarray:
+    """Fixed-dim ``list<float>`` column → (n, d) float64 matrix via
+    zero-copy flatten+reshape (``np.stack`` over per-row objects is
+    ~10× slower and allocates n small arrays)."""
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(la.flatten(), dtype=np.float64).reshape(len(la), -1)
+
+
 def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
     """Exact cosine top-k for each query vector id.
 
@@ -58,7 +66,7 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
 
     def batch_topk(t: pa.Table) -> pa.Table:
         ids_b, Qb = ray.get(q_ref)
-        E = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        E = emb_matrix(t["embedding"])
         vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         S = Qb @ _normalize(E).T  # [n_q, n_batch]
         out_q, out_v, out_s = [], [], []
@@ -110,7 +118,7 @@ def build_lsh_index(emb_ds, index_dir: str) -> None:
     import pyarrow.compute as pc
 
     def assign(t: pa.Table) -> pa.Table:
-        E = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        E = emb_matrix(t["embedding"])
         b = _bucket_of(_normalize(E), _planes(E.shape[1]))
         return pa.table(
             {
@@ -186,8 +194,7 @@ def lsh_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
 
     def batch_score(t: pa.Table) -> pa.Table:
         ids_b, Qb, probes_b = ray.get(q_ref)
-        E = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        En = _normalize(E)
+        En = _normalize(emb_matrix(t["embedding"]))
         vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         bks = t["bucket_id"].to_numpy(zero_copy_only=False).astype(np.int32)
         out_q, out_v, out_s, out_n = [], [], [], []

@@ -208,3 +208,26 @@ def test_embedding_provider_registry_and_compose():
     composed = EmbeddingProviderRegistry.compose(failing, mock)
     out2 = composed(["x"])
     assert calls == ["primary"] and out2.shape == (1, 16)  # fell back
+
+
+def test_js_string_hash_vectorized_parity():
+    """The vectorized rolling hash must reproduce the scalar JS loop
+    (Math.imul(31,h)+code | 0) bit-for-bit."""
+    import random
+
+    from coderag_ray.functions.embeddings import js_string_hash
+
+    def scalar(text):
+        h = 0
+        units = np.frombuffer(text.encode("utf-16-le"), dtype="<u2")
+        for c in units.tolist():
+            h = (31 * h + c) & 0xFFFFFFFF
+        return h - 0x100000000 if h >= 0x80000000 else h
+
+    random.seed(4)
+    cases = ["", "a", "Hello World", "☃ unicode ü", "x" * 5000] + [
+        "".join(chr(random.randint(32, 0x2FFF)) for _ in range(random.randint(1, 300)))
+        for _ in range(100)
+    ]
+    for t in cases:
+        assert js_string_hash(t) == scalar(t)
