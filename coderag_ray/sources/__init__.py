@@ -1,11 +1,13 @@
-"""Input sources for the engine (alias package).
+"""Input sources for the engine.
 
-The canonical corpus source is a Parquet table with the input-hint
-schema ``(repo, path, commit, lang, content[, doc_id])`` read via
-``ray.data.read_parquet``; adapters and the deterministic synthetic
-generator live in :mod:`coderag_ray.corpus`.
+- :mod:`coderag_ray.sources.files` — real filesystem scan
+  (``scanFiles`` + ``loadGitignore`` semantics) → input-hint Dataset.
+- :mod:`coderag_ray.corpus` — parquet corpora and the deterministic
+  synthetic generator.
 """
 
-from coderag_ray.corpus import corpus_from_documents, make_corpus, make_corpus_range
+from coderag_ray.corpus import corpus_from_documents, make_corpus
+from coderag_ray.sources.files import GitignoreFilter, list_files, scan_directory
 
-__all__ = ["corpus_from_documents", "make_corpus", "make_corpus_range"]
+__all__ = ["GitignoreFilter", "corpus_from_documents", "list_files",
+           "make_corpus", "scan_directory"]

@@ -114,7 +114,10 @@ def _make_ast_chunker(config: IndexConfig):
             cols["meta"].append(meta)
 
         for di, (lang, c) in enumerate(zip(langs, contents)):
-            chunks = chunk_python_ast(c, size) if lang == "python" else None
+            # case-insensitive: corpus tables say "python", the filesystem
+            # source's LANGUAGE_REGISTRY says "Python"
+            is_py = isinstance(lang, str) and lang.lower() == "python"
+            chunks = chunk_python_ast(c, size) if is_py else None
             if chunks is not None:
                 for ci, ch in enumerate(chunks):
                     emit(di, ci, ch.type, ch.start_line, ch.end_line,

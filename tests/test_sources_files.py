@@ -1,0 +1,81 @@
+"""Filesystem source tests — gitignore semantics (utils.ts:100-170),
+scan filtering (utils.ts:175-230), and a real directory → build_index
+round trip."""
+
+import os
+
+from coderag_ray.sources.files import (
+    DEFAULT_MAX_FILE_SIZE,
+    GitignoreFilter,
+    list_files,
+    scan_directory,
+)
+
+
+def test_gitignore_default_patterns():
+    ig = GitignoreFilter.load("/nonexistent-dir-no-gitignore")
+    assert ig.ignores("node_modules/pkg/index.js")
+    assert ig.ignores("src/node_modules/x.js")  # unanchored matches any segment
+    assert ig.ignores(".git/config")
+    assert ig.ignores("deep/dist/bundle.js")
+    assert ig.ignores("server.log")  # *.log glob
+    assert not ig.ignores("src/main.ts")
+    assert not ig.ignores("distance.py")  # 'dist' must not match a prefix
+
+
+def test_gitignore_negation_anchor_dironly(tmp_path):
+    (tmp_path / ".gitignore").write_text(
+        "# comment\n\n*.secret\n!keep.secret\n/rootonly.txt\ndocs/\n")
+    ig = GitignoreFilter.load(str(tmp_path))
+    assert ig.ignores("a/b/x.secret")
+    assert not ig.ignores("a/keep.secret")  # negation, last match wins
+    assert ig.ignores("rootonly.txt")
+    assert ig.ignores("docs/guide.md")  # files under an ignored dir
+    assert not ig.ignores("src/docs.md")
+
+
+def _make_tree(root):
+    os.makedirs(root / "src", exist_ok=True)
+    os.makedirs(root / "node_modules" / "dep", exist_ok=True)
+    os.makedirs(root / "private", exist_ok=True)
+    (root / ".gitignore").write_text("private/\n")
+    (root / "src" / "main.py").write_text("def main():\n    return 1\n")
+    (root / "src" / "util.ts").write_text("export const x = 1;\n")
+    (root / "node_modules" / "dep" / "x.js").write_text("ignored")
+    (root / "private" / "secret.py").write_text("nope")
+    (root / "image.png").write_bytes(b"\x89PNG binary")
+    (root / "big.txt").write_text("x" * (DEFAULT_MAX_FILE_SIZE + 1))
+    (root / "notes.md").write_text("# hello notes\n")
+
+
+def test_list_files_filters(tmp_path):
+    _make_tree(tmp_path)
+    rels = list_files(str(tmp_path))
+    assert "src/main.py" in rels and "src/util.ts" in rels and "notes.md" in rels
+    assert not any("node_modules" in r for r in rels)  # default ignore
+    assert not any(r.startswith("private/") for r in rels)  # .gitignore
+    assert "image.png" not in rels  # not a text extension
+    assert "big.txt" not in rels  # size guard
+
+
+def test_scan_directory_schema_and_build(ray_session, tmp_path):
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.index.build import build_index
+    from coderag_ray.index.reader import IndexReader
+    from coderag_ray.query.search import search
+
+    _make_tree(tmp_path)
+    ds = scan_directory(str(tmp_path), repo="myrepo", commit="c0")
+    pdf = ds.to_pandas()
+    assert set(pdf.columns) == {"repo", "path", "commit", "lang", "content"}
+    assert set(pdf.path) == {"src/main.py", "src/util.ts", "notes.md"}
+    assert (pdf.repo == "myrepo").all()
+    assert pdf.set_index("path").loc["src/main.py", "lang"] == "Python"
+
+    idx = str(tmp_path / "idx")
+    report = build_index(scan_directory(str(tmp_path), repo="myrepo"), idx,
+                         IndexConfig(tokenizer="code", num_partitions=2))
+    assert report.n_docs == 3
+    res = search(IndexReader(idx), "main return", 5)
+    assert res.num_rows > 0
+    assert "src/main.py" in res["path"].to_pylist()
