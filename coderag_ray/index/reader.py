@@ -358,8 +358,25 @@ class IndexReader:
         return entry
 
     def chunk_contents(self, part_id: int, ordinals: np.ndarray) -> list[str]:
-        tbl = pq.read_table(
-            os.path.join(self.part_dir(part_id), "chunks.parquet"), columns=["content"]
-        )
+        """Chunk text for a handful of ordinals — row-group-pruned: the
+        ordinal IS the row index (chunks.parquet is written in ordinal
+        order), so only the row groups covering the requested ordinals
+        are decoded instead of the whole content column."""
+        pf = pq.ParquetFile(os.path.join(self.part_dir(part_id), "chunks.parquet"))
+        md = pf.metadata
+        bounds = np.cumsum([md.row_group(i).num_rows for i in range(md.num_row_groups)])
+        ords = np.asarray(ordinals, dtype=np.int64)
+        groups = np.unique(np.searchsorted(bounds, ords, side="right"))
+        tbl = pf.read_row_groups(groups.tolist(), columns=["content"])
         col = tbl["content"]
-        return [col[int(o)].as_py() for o in ordinals]
+        # re-base each ordinal into the concatenated selected groups
+        starts = np.r_[0, bounds[:-1]]  # first ordinal of each row group
+        sel_offset = {}
+        acc = 0
+        for g in groups.tolist():
+            sel_offset[g] = acc - int(starts[g])
+            acc += md.row_group(g).num_rows
+        return [
+            col[int(o) + sel_offset[int(np.searchsorted(bounds, o, side="right"))]].as_py()
+            for o in ords
+        ]

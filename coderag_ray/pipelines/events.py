@@ -50,81 +50,87 @@ def tumbling_window(events_ds, seconds: int = TUMBLE_SECONDS):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
-def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS,
-                    island_span_seconds: int = 86400):
+def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS):
     """Per-user session windows (gap-and-island), two-phase.
 
     → Dataset (user_id, session_id (0-based per user by time),
     session_start:int64 epoch s, n_events).
 
-    Hot-user safety: phase 1 groups by ``(user_id, coarse time bucket)``
-    and collapses each bucket's events into gap-islands (one summary row
-    per island); phase 2 groups the island SUMMARIES by user and merges
-    islands across bucket edges with the same gap rule — exactly the
-    global gap partition, but no group ever holds more than one user-day
-    of raw events, so a single hot user cannot OOM a worker.  The result
-    is identical to the single-phase computation (bucket boundaries are
-    just extra cut points that phase 2 re-joins; equal-timestamp events
-    always share a bucket, so the (ts, event_id) tie order is preserved).
+    Hot-user safety + bounded Python overhead: phase 1 is a SHUFFLE-FREE
+    ``map_batches`` combiner — each arriving batch is collapsed into
+    per-user gap-islands (one vectorized numpy pass; segment boundaries
+    at user change or gap).  Phase 2 shuffles only the island SUMMARIES,
+    keyed by ``hash(user_id) % 64`` (a bounded group count — the
+    per-distinct-group Python cost of a per-user groupby is the
+    bucket_agg lesson; a per-(user,day) grouping cost 14× on the bench),
+    and merges islands with the same gap rule, vectorized across users.
+
+    Exactness for ARBITRARY batch cuts: islands are internally gap-dense
+    (consecutive events ≤ gap), so two islands of a user belong to one
+    session iff their [start, end] intervals expanded by ``gap`` touch —
+    overlapping islands always link (an event inside another island's
+    span is ≤ gap from one of its events), disjoint ones link iff
+    ``next.start − prev.end ≤ gap``.  The sorted-by-start running-max
+    sweep in ``merge`` is exactly that interval connectivity, so the
+    result equals the single-pass computation regardless of how Ray cut
+    the batches (property-tested against a single-phase reference).
+    A hot user is never concentrated: phase 1 sees only batch-sized
+    slices, phase 2 only summary rows.
     """
+    from coderag_ray.functions.hashing import splitmix64
 
-    def project(t: pa.Table) -> pa.Table:
-        # column-prune before the shuffle (3 of 6 columns) + explicit µs
-        # resolution so epoch seconds are independent of the input's ns/µs
-        # backing; rebuilding the table also drops the b'pandas' schema
-        # metadata (unhashable → Ray's "Failed to hash" shuffle warning)
-        epoch_s = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
-                            1_000_000)
-        return pa.table({
-            "user_id": pc.cast(t["user_id"], pa.int64()),
-            "event_id": pc.cast(t["event_id"], pa.int64()),
-            "s": pc.cast(epoch_s, pa.int64()),
-            "bucket": pc.cast(pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
-                                        island_span_seconds * 1_000_000), pa.int64()),
-        })
+    NB = 64  # user hash buckets
 
-    def islands(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["s", "event_id"])
-        ts = g["s"].to_numpy(dtype=np.int64)
+    def batch_islands(t: pa.Table) -> pa.Table:
+        # fused project+combine: explicit µs resolution (ns/µs-backed
+        # inputs give identical epochs), column-pruned, and the rebuilt
+        # schema drops unhashable b'pandas' metadata before the shuffle
+        epoch_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        s = pc.cast(pc.divide(epoch_us, 1_000_000), pa.int64()).to_numpy(zero_copy_only=False)
+        u = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        ev = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, s, u))
+        u, ts = u[order], s[order]
         new_isl = np.ones(len(ts), dtype=bool)
-        new_isl[1:] = (ts[1:] - ts[:-1]) > gap_seconds
-        iid = np.cumsum(new_isl) - 1
-        df = pd.DataFrame({"iid": iid, "s": ts})
-        aggd = (df.groupby("iid")
-                  .agg(island_start=("s", "min"), island_end=("s", "max"),
-                       n_events=("s", "size")).reset_index())
+        new_isl[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_seconds)
+        starts = np.flatnonzero(new_isl)
+        counts = np.diff(np.r_[starts, len(ts)])
+        iu = u[starts]
+        ub = (splitmix64(iu.astype(np.uint64)) % np.uint64(NB)).astype(np.int32)
         return pa.table({
-            "user_id": pa.array(np.repeat(int(g["user_id"].iloc[0]), len(aggd)), type=pa.int64()),
-            "island_start": pa.array(aggd["island_start"].to_numpy(dtype=np.int64), type=pa.int64()),
-            "island_end": pa.array(aggd["island_end"].to_numpy(dtype=np.int64), type=pa.int64()),
-            "n_events": pa.array(aggd["n_events"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "user_id": pa.array(iu, type=pa.int64()),
+            "ubucket": pa.array(ub),
+            "island_start": pa.array(ts[starts], type=pa.int64()),
+            "island_end": pa.array(ts[starts + counts - 1], type=pa.int64()),
+            "n_events": pa.array(counts, type=pa.int64()),
         })
 
     def merge(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("island_start")
-        start = g["island_start"].to_numpy(dtype=np.int64)
-        end = g["island_end"].to_numpy(dtype=np.int64)
-        n = g["n_events"].to_numpy(dtype=np.int64)
-        new_sess = np.ones(len(start), dtype=bool)
-        # islands from the same phase-1 group are > gap apart by
-        # construction; this re-joins only the bucket-edge cuts
-        new_sess[1:] = (start[1:] - np.maximum.accumulate(end)[:-1]) > gap_seconds
-        sid = np.cumsum(new_sess) - 1
-        df = pd.DataFrame({"sid": sid, "start": start, "n": n})
-        aggd = (df.groupby("sid")
-                  .agg(session_start=("start", "min"), n_events=("n", "sum"))
-                  .reset_index())
+        order = np.lexsort((g["island_start"].to_numpy(), g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(dtype=np.int64)[order]
+        st = g["island_start"].to_numpy(dtype=np.int64)[order]
+        en = g["island_end"].to_numpy(dtype=np.int64)[order]
+        cnt = g["n_events"].to_numpy(dtype=np.int64)[order]
+        # batch-cut islands may overlap → interval connectivity needs the
+        # per-user RUNNING MAX of ends, not just the previous end
+        run_en = pd.Series(en).groupby(pd.Series(u)).cummax().to_numpy()
+        new_sess = np.ones(len(st), dtype=bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | ((st[1:] - run_en[:-1]) > gap_seconds)
+        starts = np.flatnonzero(new_sess)
+        sess_u = u[starts]
+        idx = np.arange(len(starts), dtype=np.int64)
+        first = np.r_[True, sess_u[1:] != sess_u[:-1]]
+        base = np.where(first, idx, 0)
+        np.maximum.accumulate(base, out=base)
         return pa.table({
-            "user_id": pa.array(np.repeat(int(g["user_id"].iloc[0]), len(aggd)), type=pa.int64()),
-            "session_id": pa.array(aggd["sid"].to_numpy(dtype=np.int64), type=pa.int64()),
-            "session_start": pa.array(aggd["session_start"].to_numpy(dtype=np.int64), type=pa.int64()),
-            "n_events": pa.array(aggd["n_events"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "user_id": pa.array(sess_u, type=pa.int64()),
+            "session_id": pa.array(idx - base, type=pa.int64()),
+            "session_start": pa.array(st[starts], type=pa.int64()),
+            "n_events": pa.array(np.add.reduceat(cnt, starts), type=pa.int64()),
         })
 
     return (
-        events_ds.map_batches(project, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
-        .map_groups(islands, batch_format="pandas")
-        .groupby("user_id")
+        events_ds.map_batches(batch_islands, batch_format="pyarrow")
+        .groupby("ubucket")
         .map_groups(merge, batch_format="pandas")
     )

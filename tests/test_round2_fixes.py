@@ -236,7 +236,10 @@ def test_session_windows_two_phase_hot_user(ray_session):
         "ts": pd.to_datetime((base + np.array([0, 10, 4000, 4005])) * 1_000_000_000),
     })
     df = pd.concat([hot, cold], ignore_index=True)
-    out = session_windows(ray.data.from_pandas(df)).to_pandas()
+    # shuffle rows + force many blocks: phase-1 islands are computed on
+    # arbitrary batch cuts and must still merge to the exact sessions
+    df = df.sample(frac=1.0, random_state=0).reset_index(drop=True)
+    out = session_windows(ray.data.from_pandas(df).repartition(9)).to_pandas()
 
     # single-phase reference computed directly
     def ref_sessions(sub):
