@@ -37,6 +37,7 @@ from coderag_ray.stages.tokenize import make_tokenizer_stage
 
 CFG_SIMPLE = IndexConfig(tokenizer="simple", num_partitions=8)
 CFG_CODE = IndexConfig(tokenizer="code", num_partitions=8)
+CFG_BPE = IndexConfig(tokenizer="bpe", num_partitions=8)
 
 BM25_QUERIES = [
     (0, "spark window merge"),
@@ -219,6 +220,14 @@ def q_bm25_topk_code(sf_dir: str):
     in pytest (camelCase splits are not ANSI-SQL-expressible): rows-only
     check here."""
     return _bm25_topk(sf_dir, CFG_CODE)
+
+
+def q_bm25_topk_bpe(sf_dir: str):
+    """Model-tokenizer (mini-BPE) ranking over the ST1 actor-pool build
+    path — BPE merges aren't ANSI-SQL-expressible, so rows-only here;
+    exact rank parity vs the Python oracle is pytest-verified
+    (tests/test_bpe.py)."""
+    return _bm25_topk(sf_dir, CFG_BPE)
 
 
 def q_bm25_topk_wand(sf_dir: str):
@@ -438,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_stats": q_corpus_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_topk_code": q_bm25_topk_code,
+        "q_bm25_topk_bpe": q_bm25_topk_bpe,
         "q_bm25_topk_wand": q_bm25_topk_wand,
         "q_cosine_topk": q_cosine_topk,
         "q_hybrid_topk": q_hybrid_topk,

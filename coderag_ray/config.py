@@ -38,7 +38,7 @@ class IndexConfig:
     num_partitions ~ 10^5; tests use small values).
     """
 
-    tokenizer: str = "code"  # "code" (camelCase/snake split) | "simple" (tfidf fallback regex)
+    tokenizer: str = "code"  # "code" (camelCase/snake split) | "simple" (tfidf fallback regex) | "bpe" (model-tokenizer actor path, deterministic mini-BPE)
     chunker: str = "chars"  # "chars" (reference fallback windows) | "lines" (AST stand-in) | "ast" (stdlib-ast semantic chunks for python, char fallback otherwise)
     max_chunk_size: int = 1000  # chars — embeddings.ts:266
     chunk_overlap: int = 100  # chars — embeddings.ts:267

@@ -90,6 +90,10 @@ def tokenize(text: str, tokenizer: str = "code") -> list[str]:
         return tokenize_simple(text)
     if tokenizer == "code":
         return tokenize_code(text)
+    if tokenizer == "bpe":
+        from coderag_ray.functions.bpe import default_tokenizer
+
+        return default_tokenizer().tokenize(text)
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 

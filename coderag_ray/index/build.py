@@ -236,7 +236,17 @@ def build_index(
         if len(dirty) < config.num_partitions:
             pipeline = pipeline.map_batches(make_part_filter(dirty_set), batch_format="pyarrow", batch_size=None)
         chunked = pipeline.map_batches(make_chunker(config), batch_format="pyarrow", batch_size=None)
-        tokenized = chunked.map_batches(make_tokenizer_stage(config), batch_format="pyarrow", batch_size=None)
+        if config.tokenizer == "bpe":
+            # stateful model tokenizer → actor pool (ST1): vocab loads
+            # once per actor; costs fusion, only on this tokenizer
+            from coderag_ray.stages.tokenize import BpeTokenizeStage
+
+            tokenized = chunked.map_batches(
+                BpeTokenizeStage, fn_constructor_args=(config,),
+                batch_format="pyarrow", batch_size=1024, concurrency=(2, 8),
+            )
+        else:
+            tokenized = chunked.map_batches(make_tokenizer_stage(config), batch_format="pyarrow", batch_size=None)
 
         idx_dir, cfg = index_dir, config
 

@@ -55,6 +55,47 @@ class TokenizeStage:
         return append_term_lists(t, self.tokenizer)
 
 
+class BpeTokenizeStage:
+    """Model-tokenizer actor stage (ST1, ``code-tokenizer.ts:37-153``):
+    the BPE merge table is built/loaded ONCE per actor in ``__init__``
+    (the singleton-per-worker pattern — a real model load drops in
+    here), then ``__call__`` encodes batches row-wise with a per-actor
+    word→pieces cache.  Used via
+    ``map_batches(BpeTokenizeStage, fn_constructor_args=(config,),
+    concurrency=N)`` — an actor pool, deliberately NOT fused with the
+    task chain (stateful stages can't fuse; the build pays one extra
+    object-store hop only on this tokenizer)."""
+
+    def __init__(self, config: IndexConfig, vocab_path: str | None = None):
+        from coderag_ray.functions.bpe import BPETokenizer, default_tokenizer
+
+        self.tok = (BPETokenizer.load(vocab_path) if vocab_path
+                    else default_tokenizer())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n = t.num_rows
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        all_terms: list[str] = []
+        all_freqs: list[int] = []
+        token_count = np.zeros(n, dtype=np.int64)
+        for i, text in enumerate(t["content"].to_pylist()):
+            tf = Counter(self.tok.tokenize(text or ""))
+            token_count[i] = sum(tf.values())
+            items = sorted(tf.items())  # deterministic term order per chunk
+            offsets[i + 1] = offsets[i] + len(items)
+            all_terms.extend(k for k, _ in items)
+            all_freqs.extend(v for _, v in items)
+        terms_list = pa.ListArray.from_arrays(pa.array(offsets),
+                                              pa.array(all_terms, type=pa.string()))
+        freqs_list = pa.ListArray.from_arrays(pa.array(offsets),
+                                              pa.array(np.array(all_freqs, dtype=np.int32)))
+        t = t.append_column("terms", terms_list)
+        t = t.append_column("freqs", freqs_list)
+        return t.append_column("token_count", pa.array(token_count))
+
+
 def make_tokenizer_stage(config: IndexConfig):
     tok = config.tokenizer
 
