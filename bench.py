@@ -160,11 +160,12 @@ def run_bench() -> dict:
                   "text": pa.array(batch_queries)})
     )
     n_actors = max(2, min(4, NUM_CPUS // 8))
+    pool_cpus = max(1, min(2, NUM_CPUS // n_actors))
     t0 = time.perf_counter()
     qds.map_batches(
         BatchScorer, fn_constructor_args=(index_dir, 10), batch_format="pyarrow",
         batch_size=max(4, len(batch_queries) // (n_actors * 8)),
-        concurrency=n_actors, num_cpus=2,
+        concurrency=n_actors, num_cpus=pool_cpus,
     ).count()
     batch_wall = time.perf_counter() - t0
     results["batch_queries_per_s"] = round(len(batch_queries) / batch_wall, 1)
@@ -173,7 +174,11 @@ def run_bench() -> dict:
     # steady-state batch throughput: long-lived scorer actors (the real
     # deployment shape) — pool spin-up + index preload excluded by
     # timing only the post-warm-up feed (VERDICT r1: report both)
-    RemoteScorer = ray.remote(num_cpus=2)(BatchScorer)
+    # actor CPUs must fit the cluster (n_actors × cpus ≤ NUM_CPUS), or the
+    # pool never fully schedules and the warm-up ray.get deadlocks at low
+    # CPU counts (bit the 2-CPU scaling run)
+    cpus_per_actor = max(1, min(2, NUM_CPUS // n_actors))
+    RemoteScorer = ray.remote(num_cpus=cpus_per_actor)(BatchScorer)
     actors = [RemoteScorer.remote(index_dir, 10) for _ in range(n_actors)]
     warm = pa.table({"query_id": pa.array([0], type=pa.int64()),
                      "text": pa.array([queries[0]])})

@@ -94,6 +94,7 @@ class McpServer:
         self.index_dir = index_dir
         self._reader = None
         self._reader_mtime = None
+        self._searcher = None  # CachedSearcher over the current reader
 
     # -- index access -----------------------------------------------------
 
@@ -107,8 +108,13 @@ class McpServer:
 
         mtime = os.path.getmtime(self._manifest_path())
         if self._reader is None or mtime != self._reader_mtime:
+            from coderag_ray.query.cache import CachedSearcher
+
             self._reader = IndexReader(self.index_dir)
             self._reader_mtime = mtime
+            # results served through the reference-semantics TTL/LRU
+            # cache (search-cache.ts); a rebuild invalidates it
+            self._searcher = CachedSearcher(self._reader)
         return self._reader
 
     # -- tools ------------------------------------------------------------
@@ -116,7 +122,7 @@ class McpServer:
     def tool_codebase_search(self, args: dict) -> str:
         import numpy as np
 
-        from coderag_ray.query.search import SearchFilters, search
+        from coderag_ray.query.search import SearchFilters
         from coderag_ray.query.snippets import extract_snippet, truncate_head_tail
 
         query = args["query"]
@@ -140,7 +146,7 @@ class McpServer:
                 path_filter=args.get("path_filter"),
                 exclude_paths=args.get("exclude_paths"),
             )
-        res = search(reader, query, limit, filters=filters)
+        res = self._searcher.search(query, limit, filters=filters)
         if res.num_rows == 0:
             return (
                 f'# Search: "{query}" (0 results)\n\nNo matches found. '
