@@ -408,10 +408,25 @@ def q_lsh_knn(sf_dir: str):
     return lsh_knn(_embeddings(sf_dir), KNN_QUERY_IDS, KNN_K)
 
 
+def q_ivf_knn(sf_dir: str):
+    """IVF ANN (coarse k-means quantizer + bucket-partitioned layout) —
+    approximate by construction → rows-only; recall and probe pruning
+    are pytest-verified."""
+    from coderag_ray.pipelines.similarity import ivf_knn
+
+    return ivf_knn(_embeddings(sf_dir), KNN_QUERY_IDS, KNN_K)
+
+
 def q_events_window(sf_dir: str):
     from coderag_ray.pipelines.events import tumbling_window
 
     return tumbling_window(_events(sf_dir))
+
+
+def q_events_hopping(sf_dir: str):
+    from coderag_ray.pipelines.events import hopping_window
+
+    return hopping_window(_events(sf_dir), width_seconds=3600, hop_seconds=1800)
 
 
 def q_sessions(sf_dir: str):
@@ -463,7 +478,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embdup": q_embdup,
         "q_knn": q_knn,
         "q_lsh_knn": q_lsh_knn,
+        "q_ivf_knn": q_ivf_knn,
         "q_events_window": q_events_window,
+        "q_events_hopping": q_events_hopping,
         "q_sessions": q_sessions,
         "q_media_features": q_media_features,
     }
@@ -730,6 +747,16 @@ SELECT event_type,
        CAST(floor(epoch(ts)/3600) AS BIGINT) * 3600 AS window_start,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "q_events_hopping": """
+WITH e AS (SELECT event_type, value, (epoch_us(ts) // 1000000) // 1800 AS hb FROM events),
+x AS (
+  SELECT event_type, value, (hb - j) * 1800 AS window_start
+  FROM e, range(0, 2) t(j)
+  WHERE (hb - j) * 1800 >= 0
+)
+SELECT event_type, window_start, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM x GROUP BY 1, 2
 """,
         "q_sessions": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s FROM events),

@@ -50,6 +50,60 @@ def tumbling_window(events_ds, seconds: int = TUMBLE_SECONDS):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def hopping_window(events_ds, width_seconds: int = TUMBLE_SECONDS,
+                   hop_seconds: int = TUMBLE_SECONDS // 2):
+    """Hopping (sliding) windows: width ``W``, hop ``H ≤ W`` — every
+    event lands in ``ceil(W/H)`` overlapping windows.
+
+    Ray Data has no windowed aggregation; the streaming-shaped pattern
+    is window ASSIGNMENT as a vectorized flat-map (each event row emits
+    one row per covering window) followed by a pre-aggregable groupby —
+    the same one-shuffle shape as :func:`tumbling_window`, with input
+    amplified by the overlap factor (W/H), which is the documented cost
+    of overlapping windows in any engine.
+
+    → Dataset (event_type, window_start:int64 epoch s, n_events,
+    sum_value round6).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if width_seconds % hop_seconds != 0:
+        raise ValueError("width must be a multiple of hop")
+    n_win = width_seconds // hop_seconds
+
+    def assign(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        s = pc.cast(pc.divide(epoch, 1_000_000), pa.int64()).to_numpy(zero_copy_only=False)
+        # last hop bucket whose window covers s: floor(s/H); window i
+        # covers s iff start = (floor(s/H) - j)*H for j in [0, W/H) and
+        # start + W > s (always true for those j) and start ≥ 0
+        base = s // hop_seconds
+        starts = ((base[:, None] - np.arange(n_win)[None, :]) * hop_seconds)  # [n, n_win]
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), n_win)
+        flat = starts.ravel()
+        keep = flat >= 0
+        take = pa.array(idx[keep])
+        return pa.table(
+            {
+                "event_type": t["event_type"].take(take),
+                "window_start": pa.array(flat[keep], type=pa.int64()),
+                "value": t["value"].take(take),
+            }
+        )
+
+    agg = (
+        events_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        sv = round6(t["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64))
+        return t.set_column(t.schema.get_field_index("sum_value"), "sum_value", pa.array(sv))
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS):
     """Per-user session windows (gap-and-island), two-phase.
 

@@ -177,13 +177,21 @@ def lsh_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
     → (query_id, vec_id, cos_sim round6, n_scanned), ordered
     (query_id, cos_sim DESC, vec_id).
     """
-    import ray
-    import ray.data
-
     Qn = _normalize(np.asarray(Q, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
     probes = _probe_buckets(Qn, multiprobe)
     paths = probe_paths(index_dir, set().union(*probes) if probes else set())
+    return _probe_scan(paths, qids, Qn, probes, k)
+
+
+def _probe_scan(paths: list[str], qids: np.ndarray, Qn: np.ndarray,
+                probes: list[set[int]], k: int) -> pa.Table:
+    """Shared candidate scan for bucketed ANN layouts (LSH and IVF):
+    pruned read of ``paths``, per-batch exact-cosine top-k per query
+    restricted to its probe set, tiny driver merge."""
+    import ray
+    import ray.data
+
     empty = pa.table({"query_id": pa.array([], type=pa.int64()),
                       "vec_id": pa.array([], type=pa.int64()),
                       "cos_sim": pa.array([], type=pa.float64()),
@@ -272,6 +280,123 @@ def lsh_knn(emb_ds, query_ids: list[int], k: int = 5, multiprobe: int = 2,
         Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
         return lsh_probe(index_dir, q["vec_id"].to_numpy(dtype=np.int64), Q,
                          k=k, multiprobe=multiprobe)
+    finally:
+        if own:
+            shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + bucket layout
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 64
+
+
+def _kmeans_cosine(E: np.ndarray, n_centroids: int, n_iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means: init = the ``n_centroids``
+    sample vectors with smallest vec_id (caller passes E in vec_id
+    order), Lloyd iterations with cosine assignment, empty clusters
+    keep their previous centroid.  Unit-normalized output."""
+    k = min(n_centroids, len(E))
+    C = E[:k].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(E @ C.T, axis=1)
+        for c in range(k):
+            members = E[assign == c]
+            if len(members):
+                C[c] = members.sum(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def build_ivf_index(emb_ds, index_dir: str, n_centroids: int = IVF_CENTROIDS,
+                    n_iters: int = 10, sample_mod: int = 1) -> np.ndarray:
+    """IVF layout: train a coarse quantizer on a deterministic hash
+    sample (``splitmix64(vec_id) % sample_mod == 0``; 1 = all rows —
+    fine at test scale, pass a larger modulus at corpus scale so the
+    training sample stays bounded), then assign every vector to its
+    nearest centroid in ``map_batches`` and write one parquet partition
+    per centroid — identical probe machinery to the LSH layout.
+    Returns the centroid matrix (also persisted as ``centroids.npy``)."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from coderag_ray.functions.hashing import splitmix64
+
+    def grab_sample(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (splitmix64(v) % np.uint64(sample_mod)) == 0
+        return t.filter(pa.array(keep))
+
+    sample = (emb_ds.map_batches(grab_sample, batch_format="pyarrow")
+              .to_pandas().sort_values("vec_id"))  # bounded by sample_mod
+    E = _normalize(emb_matrix(pa.table({
+        "embedding": pa.array(list(sample["embedding"]))})["embedding"]))
+    C = _kmeans_cosine(E, n_centroids, n_iters)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        En = _normalize(emb_matrix(t["embedding"]))
+        b = np.argmax(En @ C.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "embedding": t["embedding"],
+                "bucket_id": pa.array(b, type=pa.int32()),
+                "bucket": pa.array(b, type=pa.int32()),
+            }
+        )
+
+    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    return C
+
+
+def ivf_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
+              k: int = 5, n_probe: int = 4) -> pa.Table:
+    """Probe the ``n_probe`` nearest centroids per query — same output
+    contract as :func:`lsh_probe`."""
+    import os
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    Qn = _normalize(np.asarray(Q, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    sims = Qn @ C.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    probes = [set(int(b) for b in row) for row in order]
+    paths = probe_paths(index_dir, set().union(*probes) if probes else set())
+    return _probe_scan(paths, qids, Qn, probes, k)
+
+
+def ivf_knn(emb_ds, query_ids: list[int], k: int = 5, n_probe: int = 4,
+            index_dir: str | None = None):
+    """Approximate cosine top-k via IVF buckets (build-or-reuse +
+    probe), mirroring :func:`lsh_knn`."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    own = index_dir is None
+    if own:
+        index_dir = tempfile.mkdtemp(prefix="coderag_ivf_")
+    try:
+        if not any(n.startswith("bucket=") for n in os.listdir(index_dir)):
+            build_ivf_index(emb_ds, index_dir)
+        qset = pa.array(sorted(query_ids), type=pa.int64())
+
+        def grab(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=qset))
+
+        q = (emb_ds.map_batches(grab, batch_format="pyarrow")
+             .to_pandas().sort_values("vec_id"))
+        Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+        return ivf_probe(index_dir, q["vec_id"].to_numpy(dtype=np.int64), Q,
+                         k=k, n_probe=n_probe)
     finally:
         if own:
             shutil.rmtree(index_dir, ignore_errors=True)

@@ -257,3 +257,62 @@ def test_session_windows_two_phase_hot_user(ray_session):
         assert len(got) == len(ref), (uid, len(got), len(ref))
         for r in got.itertuples():
             assert ref[int(r.session_id)] == (int(r.session_start), int(r.n_events))
+
+
+def test_ivf_knn_probes_centroids_and_exact_sims(ray_session, tmp_path):
+    """IVF: k-means bucket layout built once, probes read only n_probe
+    centroid partitions, candidate sims are exact cosines."""
+    import os
+
+    import ray.data
+
+    from coderag_ray.pipelines.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        knn_bruteforce,
+        probe_paths,
+    )
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "ivf")
+    C = build_ivf_index(emb, d, n_centroids=16)
+    assert C.shape[0] == 16
+    parts = [n for n in os.listdir(d) if n.startswith("bucket=")]
+    assert 2 <= len(parts) <= 16
+
+    q = emb.to_pandas().head(5).sort_values("vec_id")
+    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    out = ivf_probe(d, q["vec_id"].to_numpy(), Q, k=3, n_probe=2).to_pandas()
+    assert len(out) > 0
+    # probes only touch n_probe buckets per query
+    assert len(probe_paths(d, {0, 1})) < len(probe_paths(d, set(range(16))))
+    bf = knn_bruteforce(emb, q["vec_id"].tolist(), k=499).to_pandas()
+    bfmap = {(r.query_id, r.vec_id): r.cos_sim for r in bf.itertuples()}
+    for r in out.itertuples():
+        assert abs(bfmap[(r.query_id, r.vec_id)] - r.cos_sim) < 2e-6
+        assert r.vec_id != r.query_id
+    # determinism
+    out2 = ivf_probe(d, q["vec_id"].to_numpy(), Q, k=3, n_probe=2).to_pandas()
+    assert out.equals(out2)
+
+
+def test_hopping_window_each_event_in_overlap_factor_windows(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from coderag_ray.pipelines.events import hopping_window
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)  # aligned hour
+    rows = pd.DataFrame({
+        "event_id": np.arange(3, dtype=np.int64),
+        "event_type": ["a", "a", "b"],
+        "ts": pd.to_datetime((base + np.array([10, 1810, 10])) * 1_000_000_000),
+        "value": [1.0, 2.0, 3.0],
+    })
+    out = hopping_window(ray.data.from_pandas(rows), width_seconds=3600,
+                         hop_seconds=1800).to_pandas()
+    # every event covered by exactly W/H = 2 windows
+    assert out.n_events.sum() == 6
+    a = out[out.event_type == "a"].set_index("window_start").n_events.to_dict()
+    # event@10 → windows base-1800, base; event@1810 → base, base+1800
+    assert a == {base - 1800: 1, base: 2, base + 1800: 1}
