@@ -378,6 +378,15 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), n=3, top=50, max_shingle_df=None)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup connected components (keep-one-per-cluster step) over
+    the ≥0.5-Jaccard pair graph; oracle = recursive-CTE min-label
+    reachability in DuckDB."""
+    from coderag_ray.pipelines.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs(sf_dir), threshold=0.5, n=3, max_shingle_df=None)
+
+
 def q_minhash_pairs(sf_dir: str):
     from coderag_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -473,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint": q_fingerprint,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash": q_simhash,
         "q_embdup": q_embdup,
@@ -725,6 +735,38 @@ SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 ORDER BY CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common) DESC, doc_a, doc_b
 LIMIT 50
+""",
+        "q_dedup_clusters": """
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0) AS ws
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(ws[i+1:i+3], ' ') AS shingle
+    FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws)-2, 0))) AS i FROM w WHERE len(ws) >= 3)
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') AS shingle FROM w WHERE len(ws) BETWEEN 1 AND 2
+  )
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ed AS (
+  SELECT doc_a AS a, doc_b AS b
+  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common) >= 0.5
+),
+edges AS (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+)
+SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id FROM reach GROUP BY n
 """,
         "q_embdup": f"""
 SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -144,6 +144,29 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
     - the jaccard/top-k tail is a distributed ``sort().limit()`` —
       only the final ``top`` rows ever reach the driver.
     """
+    scored = _ngram_pair_scores(docs_ds, n, max_shingle_df)
+    # distributed top-k: sort + limit — only `top` rows reach the driver
+    pdf = (
+        scored.sort(["jaccard", "doc_a", "doc_b"], descending=[True, False, False])
+        .limit(top)
+        .to_pandas()
+    )
+    if len(pdf) == 0:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "n_common": pa.array([], type=pa.int64()),
+                         "n_a": pa.array([], type=pa.int64()),
+                         "n_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    pdf["jaccard"] = round6(pdf["jaccard"].to_numpy())
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def _ngram_pair_scores(docs_ds, n: int = 3,
+                       max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF):
+    """Distributed Dataset of scored pairs
+    (doc_a, doc_b, n_common, n_a, n_b, jaccard) — the shared engine of
+    :func:`ngram_jaccard_pairs` and :func:`near_dup_clusters`."""
     import logging
 
     shingles = docs_ds.map_batches(lambda t: shingle_batch(t, n), batch_format="pyarrow")
@@ -233,26 +256,62 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
             agg[c] = agg[c].astype(np.int64)
         return _from_pandas(agg[["doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"]])
 
-    scored = (
+    return (
         pair_rows.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(merge_bucket, batch_format="pandas")
     )
-    # distributed top-k: sort + limit — only `top` rows reach the driver
-    pdf = (
-        scored.sort(["jaccard", "doc_a", "doc_b"], descending=[True, False, False])
-        .limit(top)
-        .to_pandas()
-    )
-    if len(pdf) == 0:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64()),
-                         "n_common": pa.array([], type=pa.int64()),
-                         "n_a": pa.array([], type=pa.int64()),
-                         "n_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    pdf["jaccard"] = round6(pdf["jaccard"].to_numpy())
-    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def near_dup_clusters(docs_ds, threshold: float = 0.5, n: int = 3,
+                      max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF):
+    """Connected components of the ≥-threshold n-gram-Jaccard pair graph
+    — the "keep one per cluster" step after near-dup detection.
+
+    → pyarrow Table (doc_id, cluster_id) for every doc with at least
+    one qualifying pair, ``cluster_id`` = the smallest doc_id reachable
+    (deterministic canonical label), sorted by doc_id.
+
+    Scale shape: pair scoring runs distributed
+    (:func:`_ngram_pair_scores`) and only EDGES above the threshold
+    reach the driver for the union-find — the near-dup edge set scales
+    with the duplicate rate, not the corpus (and is already capped by
+    ``max_shingle_df``).  At extreme edge counts this becomes the
+    standard iterative label-propagation ``map_batches`` loop; the
+    union-find keeps the exact same output contract.
+    """
+    import pyarrow.compute as pc
+
+    scored = _ngram_pair_scores(docs_ds, n, max_shingle_df)
+    edges = scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
+                   .select(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # edges only — duplicate-rate-sized, not corpus-sized
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller root id → canonical min label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    ids = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "cluster_id": pa.array([find(i) for i in ids], type=pa.int64()),
+    })
 
 
 # ---------------------------------------------------------------------------

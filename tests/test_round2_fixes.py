@@ -316,3 +316,23 @@ def test_hopping_window_each_event_in_overlap_factor_windows(ray_session):
     a = out[out.event_type == "a"].set_index("window_start").n_events.to_dict()
     # event@10 → windows base-1800, base; event@1810 → base, base+1800
     assert a == {base - 1800: 1, base: 2, base + 1800: 1}
+
+
+def test_near_dup_clusters_transitive(ray_session):
+    """A≈B and B≈C (but A≉C directly) must land in one cluster with the
+    min doc_id as the canonical label."""
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import near_dup_clusters
+
+    a = " ".join(f"w{i}" for i in range(12))
+    b = " ".join(f"w{i}" for i in range(2, 14))   # high overlap with a
+    c = " ".join(f"w{i}" for i in range(4, 16))   # high overlap with b
+    d = " ".join(f"v{i}" for i in range(12))      # unrelated
+    tbl = pa.table({"doc_id": pa.array([5, 9, 2, 7], type=pa.int64()),
+                    "text": [a, b, c, d]})
+    out = near_dup_clusters(ray.data.from_arrow(tbl), threshold=0.5,
+                            max_shingle_df=None).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == {2: 2, 5: 2, 9: 2}  # transitively connected, min label
+    assert 7 not in got  # no qualifying pair → not clustered
