@@ -150,6 +150,21 @@ def run_bench() -> dict:
 
     from coderag_ray.query.search import BatchScorer
 
+    if os.environ.get("CODERAG_BENCH_SCALING_ONLY"):
+        # scaling legs score on build_docs_per_s + query latency only —
+        # skip the batch/steady sections so each leg is short and the
+        # pair runs under comparable machine state
+        headline = results["build_index_s"] + sum(lat)
+        out = {
+            "metric": "index_build+query", "value": round(headline, 3),
+            "unit": "sec", "queries": results,
+            "sf": SF_DIR.rstrip("/").split("/")[-1], "num_cpus": NUM_CPUS,
+            "bench_docs": BENCH_DOCS, "n_chunks": report.n_chunks,
+            "n_postings": report.n_postings,
+        }
+        ray.shutdown()
+        return out
+
     # each pool actor preloads its resident index once (~secs); the query
     # count must amortize that cold start — long-lived scorer actors are
     # the real deployment shape, so this measures pool spin-up + steady
