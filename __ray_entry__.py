@@ -358,6 +358,18 @@ def q_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
 
 
+def q_pattern_stats(sf_dir: str):
+    from coderag_ray.pipelines.text_analysis import pattern_stats_batch
+
+    return _docs(sf_dir).map_batches(pattern_stats_batch, batch_format="pyarrow")
+
+
+def q_decontam(sf_dir: str):
+    from coderag_ray.pipelines.text_analysis import decontaminate
+
+    return decontaminate(_docs(sf_dir), benchmark_max_id=10, n=8)
+
+
 def q_fingerprint(sf_dir: str):
     from coderag_ray.pipelines.text_analysis import fingerprint_batch
 
@@ -479,6 +491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_text_stats": q_text_stats,
         "q_quality": q_quality,
         "q_langid": q_langid,
+        "q_pattern_stats": q_pattern_stats,
+        "q_decontam": q_decontam,
         "q_fingerprint": q_fingerprint,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -707,6 +721,33 @@ FROM s
         "q_fingerprint": """
 SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents
+""",
+        "q_pattern_stats": """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+FROM documents
+""",
+        "q_decontam": """
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0) AS ws
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(ws[i+1:i+8], ' ') AS shingle
+    FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws)-7, 0))) AS i FROM w WHERE len(ws) >= 8)
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') AS shingle FROM w WHERE len(ws) BETWEEN 1 AND 7
+  )
+),
+b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+ov AS (SELECT sh.doc_id, count(*) AS n_overlap FROM sh JOIN b USING (shingle) GROUP BY 1),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT w.doc_id, CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+FROM w LEFT JOIN sz USING (doc_id) LEFT JOIN ov USING (doc_id)
 """,
         "q_dedup_exact": """
 SELECT sha256(text) AS content_sha256, count(*) AS n_copies, min(doc_id) AS keeper_doc_id

@@ -152,3 +152,75 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
     return pa.table(
         {"doc_id": pc.cast(t["doc_id"], pa.int64()), "fp": pa.array(fps, type=pa.string())}
     )
+
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+NUMBER_PATTERN = r"[0-9]+"
+
+
+def pattern_stats_batch(t: pa.Table) -> pa.Table:
+    """Per-doc pattern counts for PII-scrub / filtering signals:
+    emails, URLs, integer runs — the regex-count stage every large-scale
+    text pipeline runs before training.  Fully vectorized with Arrow's
+    RE2 kernels; the DuckDB oracle uses the identical RE2 patterns
+    (`regexp_extract_all`), so counts match exactly (non-overlapping
+    leftmost semantics on both sides)."""
+    text = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_emails": pc.cast(pc.count_substring_regex(text, EMAIL_PATTERN), pa.int64()),
+            "n_urls": pc.cast(pc.count_substring_regex(text, URL_PATTERN), pa.int64()),
+            "n_numbers": pc.cast(pc.count_substring_regex(text, NUMBER_PATTERN), pa.int64()),
+        }
+    )
+
+
+def decontaminate(docs_ds, benchmark_max_id: int = 10, n: int = 8):
+    """Benchmark decontamination: flag documents sharing word n-grams
+    with a benchmark set (here: docs with ``doc_id < benchmark_max_id``
+    — in production the benchmark shingle set comes from the eval
+    suites).
+
+    The benchmark shingle-hash set is built once (it is SMALL by
+    definition — eval suites are tiny next to the corpus), broadcast
+    via ``ray.put``, and every batch counts distinct-shingle overlap
+    locally — no shuffle, no corpus-sized driver state.
+
+    → Dataset (doc_id, n_shingles, n_overlap, contaminated:bool).
+    """
+    import ray
+
+    from coderag_ray.pipelines.dedup import _word_shingles
+
+    bench = (
+        docs_ds.map_batches(
+            lambda t: t.filter(pc.less(pc.cast(t["doc_id"], pa.int64()), benchmark_max_id)),
+            batch_format="pyarrow",
+        ).to_pandas()  # benchmark docs only — bounded by definition
+    )
+    bench_set = set()
+    for text in bench["text"]:
+        bench_set |= _word_shingles(text, n)
+    bench_ref = ray.put(bench_set)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bs = ray.get(bench_ref)
+        ids, n_sh, n_ov = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = _word_shingles(text, n)
+            ids.append(did)
+            n_sh.append(len(sh))
+            n_ov.append(len(sh & bs))
+        ov = np.array(n_ov, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_shingles": pa.array(n_sh, type=pa.int64()),
+                "n_overlap": pa.array(ov, type=pa.int64()),
+                "contaminated": pa.array(ov > 0),
+            }
+        )
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")

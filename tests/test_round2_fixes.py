@@ -336,3 +336,38 @@ def test_near_dup_clusters_transitive(ray_session):
     got = dict(zip(out.doc_id, out.cluster_id))
     assert got == {2: 2, 5: 2, 9: 2}  # transitively connected, min label
     assert 7 not in got  # no qualifying pair → not clustered
+
+
+def test_pattern_stats_counts(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.text_analysis import pattern_stats_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["mail a@b.co and c.d+x@e-f.org, see https://x.io/p?q=1 v2 4.5",
+                 "no patterns here"],
+    })
+    out = ray.data.from_arrow(tbl).map_batches(
+        pattern_stats_batch, batch_format="pyarrow").to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 2
+    assert out.loc[1, "n_urls"] == 1
+    assert out.loc[1, "n_numbers"] == 4  # 1 (in url), 2, 4, 5
+    assert (out.loc[2] == 0).all()
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.text_analysis import decontaminate
+
+    bench = " ".join(f"b{i}" for i in range(20))
+    leak = " ".join(f"b{i}" for i in range(8))  # shares an 8-gram with bench
+    clean = " ".join(f"c{i}" for i in range(20))
+    tbl = pa.table({"doc_id": pa.array([0, 50, 51], type=pa.int64()),
+                    "text": [bench, leak, clean]})
+    out = (decontaminate(ray.data.from_arrow(tbl), benchmark_max_id=10, n=8)
+           .to_pandas().set_index("doc_id"))
+    assert bool(out.loc[50, "contaminated"]) is True
+    assert bool(out.loc[51, "contaminated"]) is False
+    assert out.loc[0, "n_overlap"] == out.loc[0, "n_shingles"]  # bench vs itself
