@@ -462,6 +462,19 @@ def q_media_features(sf_dir: str):
     return media_features(_docs(sf_dir))
 
 
+def q_frame_sample(sf_dir: str):
+    from coderag_ray.pipelines.multimodal import frame_samples
+
+    return frame_samples(_docs(sf_dir))
+
+
+def q_media_resize(sf_dir: str):
+    from coderag_ray.pipelines.multimodal import media_features, resize_plan_batch
+
+    return media_features(_docs(sf_dir)).map_batches(resize_plan_batch,
+                                                     batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -507,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hopping": q_events_hopping,
         "q_sessions": q_sessions,
         "q_media_features": q_media_features,
+        "q_frame_sample": q_frame_sample,
+        "q_media_resize": q_media_resize,
     }
 
 
@@ -855,6 +870,26 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS payload_sh
        octet_length(encode(text)) % 64 + 1 AS fake_width,
        (octet_length(encode(text)) // 64) % 64 + 1 AS fake_height
 FROM documents
+""",
+        "q_frame_sample": """
+WITH d AS (
+  SELECT doc_id, text, (octet_length(encode(text)) // 4096) % 8 + 1 AS n_frames
+  FROM documents)
+SELECT doc_id, i AS frame_idx, sha256(text || CAST(i AS VARCHAR)) AS frame_sha256
+FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS i FROM d)
+""",
+        "q_media_resize": """
+WITH f AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS w,
+         CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS h
+  FROM documents),
+m AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM f)
+SELECT doc_id,
+       CAST(CASE WHEN mx > 32 THEN (w * 32 + mx - 1) // mx ELSE w END AS BIGINT) AS out_width,
+       CAST(CASE WHEN mx > 32 THEN (h * 32 + mx - 1) // mx ELSE h END AS BIGINT) AS out_height,
+       mx > 32 AS scaled
+FROM m
 """,
     }
     # WAND must reproduce the exhaustive ranking exactly — same oracle

@@ -73,3 +73,85 @@ def media_features(docs_ds, batch_size: int = 256, concurrency: int = 2):
         batch_size=batch_size,  # wide binary rows → small batches
         concurrency=concurrency,
     )
+
+
+def decode_video_frames(payload: bytes):
+    """Real frame decoder stub — no video library in this container."""
+    raise NotImplementedError(
+        "video decoding requires a media library not installed in this "
+        "environment; FrameSampleStage uses the deterministic fake instead"
+    )
+
+
+class FrameSampleStage:
+    """Actor-pool flat-map stage: video payload → one row per sampled
+    frame (the frame-sampling step of a multimodal training pipeline).
+
+    The fake sampler is a pure function of the payload so the DuckDB
+    oracle mirrors it exactly: ``n_frames = n_bytes // 4096 % 8 + 1``,
+    per-frame identity ``sha256(payload ‖ str(frame_idx))``.  A real
+    decoder drops into ``__init__``/``decode_video_frames`` with the
+    same row-expansion contract (1 payload → N frame rows).
+    """
+
+    def __init__(self, use_real_decoder: bool = False):
+        self.use_real_decoder = use_real_decoder
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        if self.use_real_decoder:
+            decode_video_frames(payloads[0])  # raises: documented stub
+        doc_ids = pc.cast(t["doc_id"], pa.int64()).to_pylist()
+        out_doc, out_idx, out_sha = [], [], []
+        for did, p in zip(doc_ids, payloads):
+            n_frames = (len(p) // 4096) % 8 + 1
+            for i in range(n_frames):
+                out_doc.append(did)
+                out_idx.append(i)
+                out_sha.append(hashlib.sha256(p + str(i).encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame_sha256": pa.array(out_sha, type=pa.string()),
+            }
+        )
+
+
+def frame_samples(docs_ds, batch_size: int = 256, concurrency: int = 2):
+    """documents → binary payload → actor-pool frame sampling."""
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "payload": pc.cast(t["text"], pa.binary()),
+            }
+        )
+
+    return docs_ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        FrameSampleStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def resize_plan_batch(t: pa.Table) -> pa.Table:
+    """Resize planning over the fake decoded dims: fit each (w, h) into
+    a 32×32 box preserving aspect ratio with ceil-division — integer
+    arithmetic only, so the SQL oracle reproduces it bit-for-bit.  The
+    actual pixel resample is the documented decoder stub; this stage
+    owns the dimension math + schema a real resampler would use."""
+    w = t["fake_width"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = t["fake_height"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.maximum(w, h)
+    scale_needed = m > 32
+    out_w = np.where(scale_needed, (w * 32 + m - 1) // m, w)
+    out_h = np.where(scale_needed, (h * 32 + m - 1) // m, h)
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "out_width": pa.array(out_w.astype(np.int64)),
+            "out_height": pa.array(out_h.astype(np.int64)),
+            "scaled": pa.array(scale_needed),
+        }
+    )

@@ -371,3 +371,47 @@ def test_decontaminate_flags_benchmark_overlap(ray_session):
     assert bool(out.loc[50, "contaminated"]) is True
     assert bool(out.loc[51, "contaminated"]) is False
     assert out.loc[0, "n_overlap"] == out.loc[0, "n_shingles"]  # bench vs itself
+
+
+def test_frame_sample_expansion_and_stub(ray_session):
+    import hashlib
+
+    import pytest
+    import ray.data
+
+    from coderag_ray.pipelines.multimodal import (
+        FrameSampleStage,
+        decode_video_frames,
+        frame_samples,
+    )
+
+    big = "x" * 10000  # 10000 bytes → 10000//4096 % 8 + 1 = 3 frames
+    small = "tiny"
+    tbl = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                    "text": [big, small]})
+    out = frame_samples(ray.data.from_arrow(tbl)).to_pandas()
+    g = out.groupby("doc_id").frame_idx.max().to_dict()
+    assert g == {1: 2, 2: 0}  # 3 frames and 1 frame, 0-based
+    row = out[(out.doc_id == 1) & (out.frame_idx == 1)].iloc[0]
+    assert row.frame_sha256 == hashlib.sha256(big.encode() + b"1").hexdigest()
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"")
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(use_real_decoder=True)(
+            pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                      "payload": pa.array([b"x"], type=pa.binary())}))
+
+
+def test_resize_plan_aspect_ratio(ray_session):
+    from coderag_ray.pipelines.multimodal import resize_plan_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "fake_width": pa.array([64, 16], type=pa.int64()),
+        "fake_height": pa.array([48, 8], type=pa.int64()),
+    })
+    out = resize_plan_batch(t).to_pandas().set_index("doc_id")
+    assert (out.loc[1, "out_width"], out.loc[1, "out_height"]) == (32, 24)
+    assert bool(out.loc[1, "scaled"]) is True
+    assert (out.loc[2, "out_width"], out.loc[2, "out_height"]) == (16, 8)
+    assert bool(out.loc[2, "scaled"]) is False
