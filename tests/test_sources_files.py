@@ -79,3 +79,50 @@ def test_scan_directory_schema_and_build(ray_session, tmp_path):
     res = search(IndexReader(idx), "main return", 5)
     assert res.num_rows > 0
     assert "src/main.py" in res["path"].to_pylist()
+
+
+def test_write_partitioned_resumable_and_deterministic(ray_session, tmp_path):
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data
+
+    from coderag_ray.sources.sink import read_partitioned, write_partitioned
+
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(500)), type=pa.int64()),
+        "text": [f"doc {i} payload" for i in range(500)],
+    })
+    out = str(tmp_path / "sink")
+    s1 = write_partitioned(ray.data.from_arrow(tbl), out, "doc_id",
+                           num_partitions=8).to_pandas()
+    assert not s1.skipped.any()
+    assert s1.n_rows.sum() == 500
+
+    def file_hashes():
+        return {
+            f"{d}/{f}": hashlib.sha256(
+                open(os.path.join(out, d, f), "rb").read()).hexdigest()
+            for d in sorted(os.listdir(out)) if d.startswith("part=")
+            for f in sorted(os.listdir(os.path.join(out, d))) if f.endswith(".parquet")
+        }
+
+    h1 = file_hashes()
+    # re-run: every partition skipped, files untouched
+    s2 = write_partitioned(ray.data.from_arrow(tbl), out, "doc_id",
+                           num_partitions=8).to_pandas()
+    assert s2.skipped.all()
+    assert file_hashes() == h1
+    # delete one partition → only that one rewritten, byte-identical
+    victim = sorted(d for d in os.listdir(out) if d.startswith("part="))[3]
+    shutil.rmtree(os.path.join(out, victim))
+    s3 = write_partitioned(ray.data.from_arrow(tbl), out, "doc_id",
+                           num_partitions=8).to_pandas()
+    assert s3.skipped.sum() == len(s3) - 1
+    assert file_hashes() == h1
+    # round trip
+    back = read_partitioned(out).to_pandas().sort_values("doc_id")
+    assert back.doc_id.tolist() == list(range(500))
