@@ -376,6 +376,15 @@ def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def q_curation(sf_dir: str):
+    """Composite curation pipeline: quality filter → exact-dedup keeper
+    → benchmark decontamination, one shuffle, full SQL oracle."""
+    from coderag_ray.pipelines.curation import curate
+
+    return curate(_docs(sf_dir), min_words=10, max_stopword_ratio=0.7,
+                  benchmark_max_id=10, ngram=8)
+
+
 def q_dedup_exact(sf_dir: str):
     from coderag_ray.pipelines.dedup import exact_dedup
 
@@ -507,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pattern_stats": q_pattern_stats,
         "q_decontam": q_decontam,
         "q_fingerprint": q_fingerprint,
+        "q_curation": q_curation,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
@@ -767,6 +777,43 @@ FROM w LEFT JOIN sz USING (doc_id) LEFT JOIN ov USING (doc_id)
         "q_dedup_exact": """
 SELECT sha256(text) AS content_sha256, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
 FROM documents GROUP BY sha256(text)
+""",
+        "q_curation": f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0) AS ws
+  FROM documents),
+q AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         CASE WHEN len(ws) > 0
+              THEN round(CAST(len(list_filter(ws, x -> x IN {_STOP_SQL})) AS DOUBLE)/len(ws), 6)
+              ELSE 0.0 END AS swr
+  FROM w),
+keepers AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(ws[i+1:i+8], ' ') AS shingle
+    FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws)-7, 0))) AS i FROM w WHERE len(ws) >= 8)
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') AS shingle FROM w WHERE len(ws) BETWEEN 1 AND 7
+  )
+),
+b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+ovd AS (SELECT DISTINCT sh.doc_id FROM sh JOIN b USING (shingle)),
+f AS (
+  SELECT q.doc_id, q.n_words, q.swr,
+         keepers.doc_id = keepers.keeper AS is_keeper,
+         q.doc_id IN (SELECT doc_id FROM ovd) AS contaminated
+  FROM q JOIN keepers ON keepers.doc_id = q.doc_id)
+SELECT doc_id, n_words, swr AS stopword_ratio, is_keeper, contaminated,
+       (n_words >= 10 AND swr <= 0.7 AND is_keeper AND NOT contaminated) AS kept,
+       CASE WHEN n_words < 10 OR swr > 0.7 THEN 'low_quality'
+            WHEN NOT is_keeper THEN 'duplicate'
+            WHEN contaminated THEN 'contaminated'
+            ELSE 'kept' END AS reason
+FROM f
 """,
         "q_ngram_jaccard": """
 WITH w AS (

@@ -415,3 +415,30 @@ def test_resize_plan_aspect_ratio(ray_session):
     assert bool(out.loc[1, "scaled"]) is True
     assert (out.loc[2, "out_width"], out.loc[2, "out_height"]) == (16, 8)
     assert bool(out.loc[2, "scaled"]) is False
+
+
+def test_curation_reason_precedence(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.curation import curate
+
+    good = " ".join(f"word{i}" for i in range(30))
+    bench = " ".join(f"bench{i}" for i in range(20))
+    leak = " ".join(f"bench{i}" for i in range(8)) + " " + " ".join(f"x{i}" for i in range(10))
+    short = "too short"
+    # doc 14 duplicates doc 13 (good) → duplicate; precedence:
+    # low_quality > duplicate > contaminated (ids ≥ 10 so none are
+    # accidentally part of the benchmark set)
+    tbl = pa.table({
+        "doc_id": pa.array([0, 13, 14, 20, 30, 40], type=pa.int64()),
+        "text": [bench, good, good, leak, short, good],
+    })
+    out = curate(ray.data.from_arrow(tbl), min_words=10, max_stopword_ratio=0.7,
+                 benchmark_max_id=10, ngram=8).to_pandas().set_index("doc_id")
+    assert out.loc[0, "reason"] == "contaminated"  # bench doc overlaps itself
+    assert out.loc[13, "reason"] == "kept" and bool(out.loc[13, "kept"])
+    assert out.loc[14, "reason"] == "duplicate"
+    assert out.loc[20, "reason"] == "contaminated"
+    assert out.loc[30, "reason"] == "low_quality"
+    assert out.loc[40, "reason"] == "duplicate"
+    assert not out.loc[out.index != 13, "kept"].any()
