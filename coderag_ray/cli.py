@@ -35,10 +35,34 @@ def cmd_build(args) -> int:
     from coderag_ray.config import IndexConfig
     from coderag_ray.index.build import build_index
 
-    cfg = IndexConfig(tokenizer=args.tokenizer, num_partitions=args.partitions)
+    cfg = IndexConfig(tokenizer=args.tokenizer, num_partitions=args.partitions,
+                      chunker=getattr(args, "chunker", "chars"))
     report = build_index(args.input, args.index_dir, cfg, resume=not args.no_resume)
     print(json.dumps(report.__dict__, default=str))
     ray.shutdown()
+    return 0
+
+
+def cmd_scan(args) -> int:
+    """Index a real directory tree: filesystem scan → build."""
+    ray = _ray_init()
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.index.build import build_index
+    from coderag_ray.sources.files import scan_directory
+
+    cfg = IndexConfig(tokenizer=args.tokenizer, num_partitions=args.partitions,
+                      chunker=args.chunker)
+    report = build_index(scan_directory(args.root), args.index_dir, cfg,
+                         resume=not args.no_resume)
+    print(json.dumps(report.__dict__, default=str))
+    ray.shutdown()
+    return 0
+
+
+def cmd_mcp(args) -> int:
+    from coderag_ray.mcp_server import serve
+
+    serve(args.index_dir)
     return 0
 
 
@@ -95,10 +119,24 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build")
     b.add_argument("input")
     b.add_argument("index_dir")
-    b.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    b.add_argument("--tokenizer", default="code", choices=["code", "simple", "bpe"])
     b.add_argument("--partitions", type=int, default=16)
+    b.add_argument("--chunker", default="chars", choices=["chars", "lines", "ast"])
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    sc = sub.add_parser("scan", help="index a real directory tree (gitignore-aware)")
+    sc.add_argument("root")
+    sc.add_argument("index_dir")
+    sc.add_argument("--tokenizer", default="code", choices=["code", "simple", "bpe"])
+    sc.add_argument("--partitions", type=int, default=16)
+    sc.add_argument("--chunker", default="chars", choices=["chars", "lines", "ast"])
+    sc.add_argument("--no-resume", action="store_true")
+    sc.set_defaults(fn=cmd_scan)
+
+    m = sub.add_parser("mcp", help="serve the MCP stdio protocol over a built index")
+    m.add_argument("index_dir")
+    m.set_defaults(fn=cmd_mcp)
 
     s = sub.add_parser("search")
     s.add_argument("index_dir")

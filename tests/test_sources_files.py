@@ -126,3 +126,30 @@ def test_write_partitioned_resumable_and_deterministic(ray_session, tmp_path):
     # round trip
     back = read_partitioned(out).to_pandas().sort_values("doc_id")
     assert back.doc_id.tolist() == list(range(500))
+
+
+def test_cli_scan_and_search_real_directory(tmp_path):
+    """CLI 'scan' indexes a real tree end to end — in a subprocess, like
+    the other CLI tests (the command owns its Ray session and calls
+    ray.shutdown(), which must not kill the pytest session)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    _make_tree(tmp_path)
+    idx = str(tmp_path / "cliidx")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "coderag_ray.cli", *args],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        )
+
+    r = run("scan", str(tmp_path), idx, "--partitions", "2")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert _json.loads(r.stdout.strip().splitlines()[-1])["n_docs"] == 3
+    r = run("search", idx, "main return", "-k", "5", "--json")
+    assert r.returncode == 0, r.stderr[-500:]
+    rows = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert any(row["path"] == "src/main.py" for row in rows)
