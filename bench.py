@@ -230,7 +230,8 @@ def run_bench() -> dict:
         results["build_vector_ann_s"] = round(time.perf_counter() - t0, 3)
         hyb_queries = queries[:12]
         for label, use_ann in (("hybrid_p95_ms", False), ("hybrid_ann_p95_ms", True)):
-            hybrid_search(reader, hyb_queries[0], 10, dimensions=32, use_ann=use_ann)
+            for q in hyb_queries:  # steady-state: warm both sides' caches
+                hybrid_search(reader, q, 10, dimensions=32, use_ann=use_ann)
             hl = []
             for q in hyb_queries:
                 tq = time.perf_counter()

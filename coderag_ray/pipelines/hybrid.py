@@ -131,7 +131,18 @@ def vector_topk_ann(reader: IndexReader, query: str, k: int,
     paths = probe_paths(ann_dir, probes)
     if not paths:
         return vector_topk(reader, query, k, dimensions)
-    tbl = pa.concat_tables([_ann_table_cached(p) for p in paths])
+    if len(paths) > 4:
+        # cold probes read one small file per (bucket, partition) — up
+        # to probes×P of them; parquet reads release the GIL, so a
+        # thread pool turns the cold-probe p95 from sum-of-reads into
+        # max-of-reads (warm probes hit the cache either way)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(paths))) as ex:
+            tables = list(ex.map(_ann_table_cached, paths))
+    else:
+        tables = [_ann_table_cached(p) for p in paths]
+    tbl = pa.concat_tables(tables)
     E = _emb_matrix(tbl)
     sims = E @ qv
     doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
