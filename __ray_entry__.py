@@ -298,6 +298,74 @@ def q_hybrid_topk(sf_dir: str):
     )
 
 
+def q_keywords(sf_dir: str):
+    """Per-doc TF-IDF keyword extraction (top-3 terms): doc-level tf =
+    Σ raw_freq / Σ tokens over the doc's chunks, idf from the built
+    simple-tokenizer index (broadcast — the small side never shuffles),
+    rank = (score DESC, term ASC).  One doc-keyed groupby."""
+    import pyarrow.parquet as pq
+
+    from coderag_ray.functions.hashing import splitmix64
+
+    idx = _index_for(sf_dir, CFG_SIMPLE)
+    idf_tbl = pq.read_table(os.path.join(idx, "idf"))
+    idf_map = dict(zip(idf_tbl["term"].to_pylist(),
+                       idf_tbl["idf"].to_numpy(zero_copy_only=False)))
+    import ray
+
+    idf_ref = ray.put(idf_map)
+
+    def explode_tfidf(t: pa.Table) -> pa.Table:
+        imap = ray.get(idf_ref)
+        terms = t["terms"].combine_chunks() if isinstance(t["terms"], pa.ChunkedArray) else t["terms"]
+        freqs = t["freqs"].combine_chunks() if isinstance(t["freqs"], pa.ChunkedArray) else t["freqs"]
+        lens = pc.list_value_length(terms).to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        take = pa.array(parents)
+        flat_terms = pc.list_flatten(terms).to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"].take(take), pa.int64()),
+                "term": pa.array(flat_terms, type=pa.string()),
+                "raw_freq": pc.cast(pc.list_flatten(freqs), pa.int64()),
+                "doc_tokens": pc.cast(t["token_count"].take(take), pa.int64()),
+                "idf": pa.array([imap.get(tm, 0.0) for tm in flat_terms], type=pa.float64()),
+            }
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__bucket", pa.array((splitmix64(d) % np.uint64(64)).astype(np.int32)))
+
+    def topk_of_bucket(g):
+        import pandas as pd
+
+        agg = (g.groupby(["doc_id", "term"], sort=False)
+                 .agg(freq=("raw_freq", "sum"), idf=("idf", "first")).reset_index())
+        # doc token total = Σ raw_freq over every posting row of the doc
+        # (each chunk's token_count is by definition the sum of its freqs)
+        tok = g.groupby("doc_id")["raw_freq"].sum()
+        agg["score"] = (agg["freq"] / agg["doc_id"].map(tok)) * agg["idf"]
+        agg = agg.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True])
+        top = agg.groupby("doc_id", sort=False).head(3).copy()
+        top["rank"] = top.groupby("doc_id").cumcount() + 1
+        return pa.table({
+            "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "term": pa.array(top["term"].tolist(), type=pa.string()),
+            "score": pa.array(round6(top["score"].to_numpy()), type=pa.float64()),
+            "rank": pa.array(top["rank"].to_numpy(dtype=np.int64), type=pa.int64()),
+        })
+
+    return (
+        _stage_pipeline(sf_dir, CFG_SIMPLE)
+        .map_batches(explode_tfidf, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(topk_of_bucket, batch_format="pandas")
+    )
+
+
 def q_chunk_ast(sf_dir: str):
     """Python AST chunker (M6, ``ast-chunking.ts:183-225``) driven over a
     deterministic Python rendering of each document (one ``def`` per
@@ -509,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_topk_wand": q_bm25_topk_wand,
         "q_cosine_topk": q_cosine_topk,
         "q_hybrid_topk": q_hybrid_topk,
+        "q_keywords": q_keywords,
         "q_chunk_ast": q_chunk_ast,
         "q_text_stats": q_text_stats,
         "q_quality": q_quality,
@@ -671,6 +740,20 @@ sc AS (
 SELECT query_id, doc_id, chunk_id, round(score, 6) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id, chunk_id) AS rn FROM sc)
 WHERE rn <= {TOPK}
+""",
+        "q_keywords": _CORE + """
+, idf AS (
+  SELECT term, ln((st.n_chunks + 1) / (count(*) + 1.0)) + 1 AS idf
+  FROM post CROSS JOIN st GROUP BY term, st.n_chunks
+),
+df AS (SELECT doc_id, term, CAST(sum(raw_freq) AS DOUBLE) AS freq FROM post GROUP BY 1, 2),
+dtok AS (SELECT doc_id, CAST(sum(raw_freq) AS DOUBLE) AS tokens FROM post GROUP BY 1),
+sc AS (
+  SELECT df.doc_id, df.term, (df.freq / dtok.tokens) * idf.idf AS score
+  FROM df JOIN dtok USING (doc_id) JOIN idf USING (term))
+SELECT doc_id, term, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+WHERE rank <= 3
 """,
         "q_chunk_ast": """
 WITH w AS (
