@@ -121,6 +121,10 @@ def run_bench() -> dict:
         index_dir, cfg, resume=False,
     )
     build_s = time.perf_counter() - t0
+    if os.environ.get("CODERAG_BENCH_STATS"):
+        from coderag_ray.index import run_shuffle
+
+        print(run_shuffle.LAST_MAP_STATS or "(no map-wave stats)", file=sys.stderr)
     results["build_index_s"] = round(build_s, 3)
     results["build_docs_per_s"] = round(report.n_docs / build_s, 1)
     results["build_chunks_per_s"] = round(report.n_chunks / build_s, 1)

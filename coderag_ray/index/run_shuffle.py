@@ -32,6 +32,11 @@ import pyarrow.parquet as pq
 RUNS_DIRNAME = "_runs"
 _SHM = "/dev/shm"
 
+# ds.stats() of the last build's fused map wave (read→ingest→chunk→
+# tokenize→spill) — the per-operator wall/CPU audit the scale brief
+# asks for; printed by `CODERAG_BENCH_STATS=1 python bench.py`
+LAST_MAP_STATS: str | None = None
+
 
 def _rebuild_list(la: pa.Array | pa.ChunkedArray, values: pa.Array) -> pa.ListArray:
     """Fresh zero-based list array over ``values`` with ``la``'s lengths
@@ -157,9 +162,12 @@ def run_shuffle_build(tokenized, index_dir: str, config,
     shutil.rmtree(os.path.join(index_dir, RUNS_DIRNAME), ignore_errors=True)
     os.makedirs(run_dir, exist_ok=True)
 
-    summaries = tokenized.map_batches(
+    summary_ds = tokenized.map_batches(
         make_run_writer(run_dir), batch_format="pyarrow", batch_size=None
-    ).take_all()
+    )
+    summaries = summary_ds.take_all()
+    global LAST_MAP_STATS
+    LAST_MAP_STATS = summary_ds.stats()  # post-execution per-operator stats (cheap string)
     files_of: dict[int, list[str]] = {}
     for row in summaries:
         files_of.setdefault(int(row["part_id"]), []).append(row["file"])

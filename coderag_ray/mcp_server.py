@@ -283,6 +283,12 @@ def serve(index_dir: str, fin=None, fout=None) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     cfg = parse_args(sys.argv[1:] if argv is None else argv)
+    if cfg["index_only"]:
+        # reference --index-only: report and exit without serving
+        # (index.ts:95-116; builds happen via the coderag_ray CLI here)
+        status = McpServer(cfg["index_dir"]).tool_get_indexing_status({})
+        print(status)
+        return 0 if json.loads(status).get("indexedCount", 0) > 0 else 1
     print(f"coderag-ray MCP server over {cfg['index_dir']}", file=sys.stderr)
     serve(cfg["index_dir"])
     return 0
