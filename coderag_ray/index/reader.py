@@ -80,11 +80,18 @@ class CompactIndex:
 
 
 class IndexReader:
-    def __init__(self, index_dir: str, preload: str = "auto"):
+    def __init__(self, index_dir: str, preload: str = "auto",
+                 partitions: list[int] | None = None):
         """``preload``: "auto" builds the resident compact index on first
         search when the shard fits (latency-optimal, ~secs of startup);
         "never" keeps lazy row-group-pruned reads + per-term LRU
-        (startup-optimal — e.g. many short-lived batch-scorer actors)."""
+        (startup-optimal — e.g. many short-lived batch-scorer actors).
+
+        ``partitions``: restrict this reader to a subset of index
+        partitions — the SHARD of a scatter-gather query tier
+        (:mod:`coderag_ray.query.sharded`).  Global statistics (N,
+        avgdl, idf) always come from the whole index, so shard-local
+        scores are bitwise identical to whole-index scores."""
         self._preload_mode = preload
         self.index_dir = index_dir
         self.meta = mf.load_meta(index_dir)
@@ -93,6 +100,9 @@ class IndexReader:
         self.partitions = sorted(
             p for p, row in mf.manifest_partitions(man).items() if row.get("n_chunks", 0) > 0
         )
+        if partitions is not None:
+            subset = set(partitions)
+            self.partitions = [p for p in self.partitions if p in subset]
         self.avgdl = float(self.meta["avgdl"])
         self.n_chunks = int(self.meta["n_chunks"])
         self._part_cache: dict[int, PartitionHandle] = {}
