@@ -43,27 +43,37 @@ def curate(docs_ds, *, min_words: int = 10, max_stopword_ratio: float = 0.7,
         bench_set |= _word_shingles(text, ngram)
     bench_ref = ray.put(bench_set)
 
+    import zlib
+
     def signals(t: pa.Table) -> pa.Table:
         bs = ray.get(bench_ref)
         q = quality_batch(t)
         overlap = []
         for text in t["text"].to_pylist():
             overlap.append(len(_word_shingles(text, ngram) & bs) > 0)
+        shas = batch_sha256(t["text"])
+        # bucket on the sha: distinct-sha cardinality grows with the
+        # corpus, so the keeper resolution groups by HASH BUCKET and
+        # resolves all sha groups inside vectorized (bucket_agg lesson)
+        b = np.array([zlib.crc32(s.encode()) & 0x3F for s in shas.to_pylist()],
+                     dtype=np.int32)
         return pa.table(
             {
                 "doc_id": q["doc_id"],
                 "n_words": q["n_words"],
                 "stopword_ratio": q["stopword_ratio"],
-                "content_sha256": batch_sha256(t["text"]),
+                "content_sha256": shas,
                 "contaminated": pa.array(overlap),
+                "__bucket": pa.array(b),
             }
         )
 
-    def verdict_group(g: pd.DataFrame) -> pa.Table:
-        """One duplicate group (same content sha): min doc_id keeps."""
-        keeper = int(g["doc_id"].min())
+    def verdict_bucket(g: pd.DataFrame) -> pa.Table:
+        """All duplicate groups of one sha bucket, vectorized: keeper =
+        per-sha min doc_id via a C-speed transform."""
+        keeper = g.groupby("content_sha256", sort=False)["doc_id"].transform("min")
         doc_id = g["doc_id"].to_numpy(dtype=np.int64)
-        is_keeper = doc_id == keeper
+        is_keeper = doc_id == keeper.to_numpy(dtype=np.int64)
         low_q = (g["n_words"].to_numpy(dtype=np.int64) < min_words) | (
             g["stopword_ratio"].to_numpy(dtype=np.float64) > max_stopword_ratio
         )
@@ -88,6 +98,6 @@ def curate(docs_ds, *, min_words: int = 10, max_stopword_ratio: float = 0.7,
 
     return (
         docs_ds.map_batches(signals, batch_format="pyarrow")
-        .groupby("content_sha256")
-        .map_groups(verdict_group, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(verdict_bucket, batch_format="pandas")
     )

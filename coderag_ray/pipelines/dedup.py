@@ -91,23 +91,41 @@ def shingle_batch(t: pa.Table, n: int = 3) -> pa.Table:
 
 def exact_dedup(docs_ds):
     """→ Dataset (content_sha256, n_copies, keeper_doc_id). Groups with
-    n_copies > 1 are duplicates; keeper = min doc_id (frozen policy)."""
-    from ray.data.aggregate import Count, Min
+    n_copies > 1 are duplicates; keeper = min doc_id (frozen policy).
+
+    Distinct-sha cardinality grows with the corpus, so the aggregation
+    is BUCKETED (hash sha → 64 groups, one vectorized pandas groupby
+    per bucket) rather than per-sha declarative — the bucket_agg
+    pattern; exact integer results either way."""
+    import zlib
 
     from coderag_ray.functions.hashing import batch_sha256
 
     def add_sha(t: pa.Table) -> pa.Table:
+        shas = batch_sha256(t["text"])
+        b = np.array([zlib.crc32(s.encode()) & 0x3F for s in shas.to_pylist()],
+                     dtype=np.int32)
         return pa.table(
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
-                "content_sha256": batch_sha256(t["text"]),
+                "content_sha256": shas,
+                "__bucket": pa.array(b),
             }
         )
 
+    def agg_bucket(g: pd.DataFrame) -> pa.Table:
+        a = (g.groupby("content_sha256", sort=False)["doc_id"]
+               .agg(n_copies="size", keeper_doc_id="min").reset_index())
+        return pa.table({
+            "content_sha256": pa.array(a["content_sha256"].tolist(), type=pa.string()),
+            "n_copies": pa.array(a["n_copies"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "keeper_doc_id": pa.array(a["keeper_doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+        })
+
     return (
         docs_ds.map_batches(add_sha, batch_format="pyarrow")
-        .groupby("content_sha256")
-        .aggregate(Count(alias_name="n_copies"), Min("doc_id", alias_name="keeper_doc_id"))
+        .groupby("__bucket")
+        .map_groups(agg_bucket, batch_format="pandas")
     )
 
 
