@@ -499,23 +499,54 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
 
     from coderag_ray.functions.hashing import splitmix64
 
-    bands = docs_ds.map_batches(MinHashStage, fn_constructor_args=(n,),
-                                batch_format="pyarrow", concurrency=2)
+    def add_band_bucket(t: pa.Table) -> pa.Table:
+        # distinct (band_id, band_hash) cardinality grows with the
+        # corpus → hash band buckets into 256 coarse groups so pair
+        # expansion pays Python overhead per COARSE group only (the
+        # bucket_agg lesson), with vectorized run detection inside
+        h = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(h) % np.uint64(256)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if max_bucket_docs is not None and len(ids) > max_bucket_docs:
-            logging.getLogger(__name__).warning(
-                "minhash_lsh: band bucket with %d docs capped to %d (band_id=%s)",
-                len(ids), max_bucket_docs, int(g["band_id"].iloc[0]),
-            )
-            ids = ids[:max_bucket_docs]
-        if len(ids) < 2:
+    bands = (docs_ds.map_batches(MinHashStage, fn_constructor_args=(n,),
+                                 batch_format="pyarrow", concurrency=2)
+             .map_batches(add_band_bucket, batch_format="pyarrow"))
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pa.Table:
+        """All (band_id, band_hash) runs of one coarse bucket, pair-
+        expanded vectorized (same run-batched scheme as the n-gram
+        path); runs over ``max_bucket_docs`` are capped (logged)."""
+        order = np.lexsort((g["doc_id"].to_numpy(), g["band_hash"].to_numpy(),
+                            g["band_id"].to_numpy()))
+        bi = g["band_id"].to_numpy()[order]
+        bh = g["band_hash"].to_numpy()[order]
+        ids = g["doc_id"].to_numpy()[order]
+        new_run = np.ones(len(ids), dtype=bool)
+        new_run[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(ids)])
+        if max_bucket_docs is not None:
+            over = lens > max_bucket_docs
+            if over.any():
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh: %d band buckets over %d docs capped",
+                    int(over.sum()), max_bucket_docs)
+                lens = np.minimum(lens, max_bucket_docs)
+        out_a, out_b = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            runs = starts[lens == ln]
+            idx = runs[:, None] + np.arange(ln)[None, :]
+            block = ids[idx]
+            ai, bi2 = np.triu_indices(int(ln), k=1)
+            out_a.append(block[:, ai].ravel())
+            out_b.append(block[:, bi2].ravel())
+        if not out_a:
             return pa.table({"doc_a": pa.array([], type=pa.int64()),
                              "doc_b": pa.array([], type=pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[a], type=pa.int64()),
-                         "doc_b": pa.array(ids[b], type=pa.int64())})
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                         "doc_b": pa.array(np.concatenate(out_b), type=pa.int64())})
 
     def add_bucket_a(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -525,7 +556,7 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
         return _from_pandas(g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]])
 
     cand = (
-        bands.groupby(["band_id", "band_hash"])
+        bands.groupby("__bucket")
         .map_groups(pairs_of_bucket, batch_format="pandas")
         .map_batches(add_bucket_a, batch_format="pyarrow")
         .groupby("__bucket")
