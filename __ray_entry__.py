@@ -115,26 +115,42 @@ def q_chunk_stats(sf_dir: str):
 
 
 def q_doc_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Sum
+    """Per-doc chunk aggregates — bucketed on hash(doc_id) (doc
+    cardinality grows with the corpus; per-distinct-group declarative
+    aggregation is the bucket_agg anti-pattern), vectorized pandas
+    aggregation inside each of the 64 groups."""
+    from coderag_ray.functions.hashing import splitmix64
 
     def project(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        b = (splitmix64(d.to_numpy(zero_copy_only=False).astype(np.uint64))
+             % np.uint64(64)).astype(np.int32)
         return pa.table(
             {
-                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "doc_id": d,
                 "token_count": pc.cast(t["token_count"], pa.int64()),
                 "content_sha256": t["content_sha256"],
+                "__bucket": pa.array(b),
             }
         )
+
+    def agg_bucket(g):
+        a = (g.groupby("doc_id", sort=False)
+               .agg(n_chunks=("doc_id", "size"),
+                    doc_tokens=("token_count", "sum"),
+                    content_sha256=("content_sha256", "max")).reset_index())
+        return pa.table({
+            "doc_id": pa.array(a["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "n_chunks": pa.array(a["n_chunks"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "doc_tokens": pa.array(a["doc_tokens"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "content_sha256": pa.array(a["content_sha256"].tolist(), type=pa.string()),
+        })
 
     return (
         _stage_pipeline(sf_dir, CFG_SIMPLE)
         .map_batches(project, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Count(alias_name="n_chunks"),
-            Sum("token_count", alias_name="doc_tokens"),
-            Max("content_sha256", alias_name="content_sha256"),
-        )
+        .groupby("__bucket")
+        .map_groups(agg_bucket, batch_format="pandas")
     )
 
 
