@@ -1,0 +1,101 @@
+"""Hypothesis property tests for the pure kernels added in round 2:
+Mersenne-61 modular arithmetic, BPE reassembly, the vectorized JS hash,
+and the AST chunker's exact-partition invariant over generated Python."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from coderag_ray.functions.ast_chunker import chunk_python_ast
+from coderag_ray.functions.bpe import default_tokenizer
+from coderag_ray.functions.embeddings import js_string_hash
+from coderag_ray.pipelines.dedup import _MERS_P, _mulmod61, minhash_signatures_batch
+
+
+@given(st.lists(st.integers(0, _MERS_P - 1), min_size=1, max_size=50),
+       st.lists(st.integers(0, _MERS_P - 1), min_size=1, max_size=50))
+def test_mulmod61_matches_bigint(a, b):
+    n = min(len(a), len(b))
+    av = np.array(a[:n], dtype=np.uint64)
+    bv = np.array(b[:n], dtype=np.uint64)
+    got = _mulmod61(av, bv)
+    ref = np.array([(int(x) * int(y)) % _MERS_P for x, y in zip(av, bv)],
+                   dtype=np.uint64)
+    assert (got == ref).all()
+
+
+@given(st.lists(st.lists(st.integers(0, 2**64 - 1), max_size=80), min_size=1, max_size=20))
+def test_minhash_batch_matches_per_doc(hash_lists):
+    from coderag_ray.pipelines.dedup import minhash_signature
+
+    arrs = [np.array(h, dtype=np.uint64) for h in hash_lists]
+    batch = minhash_signatures_batch(arrs, max_shingles_per_block=64)
+    for i, h in enumerate(arrs):
+        assert (batch[i] == minhash_signature(h)).all()
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF), max_size=300))
+def test_js_hash_matches_scalar_loop(text):
+    h = 0
+    units = np.frombuffer(text.encode("utf-16-le"), dtype="<u2")
+    for c in units.tolist():
+        h = (31 * h + c) & 0xFFFFFFFF
+    ref = h - 0x100000000 if h >= 0x80000000 else h
+    assert js_string_hash(text) == ref
+
+
+@given(st.lists(st.text(alphabet="abcdefghij_0", min_size=1, max_size=20),
+                min_size=1, max_size=10))
+def test_bpe_encode_word_reassembles(words):
+    tok = default_tokenizer()
+    for w in words:
+        assert "".join(tok.encode_word(w)) == w
+        # deterministic (cache or not)
+        assert tok.encode_word(w) == tok.encode_word(w)
+
+
+_py_word = st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=12)
+
+
+@st.composite
+def _python_source(draw):
+    """Deterministic valid-Python generator: mix of defs, classes with
+    methods, assignments, blank runs, comments."""
+    parts = []
+    for _ in range(draw(st.integers(1, 8))):
+        kind = draw(st.integers(0, 4))
+        name = draw(_py_word)
+        if kind == 0:
+            body = "\n".join(f"    x{i} = {i}" for i in range(draw(st.integers(1, 30))))
+            parts.append(f"def {name}():\n{body}\n")
+        elif kind == 1:
+            methods = "".join(
+                f"    def m{i}(self):\n        return {i}\n\n"
+                for i in range(draw(st.integers(1, 6))))
+            parts.append(f"class {name.capitalize()}:\n{methods}")
+        elif kind == 2:
+            parts.append(f"{name} = {draw(st.integers(0, 999))}\n")
+        elif kind == 3:
+            parts.append("\n" * draw(st.integers(1, 3)))
+        else:
+            parts.append(f"# comment {name}\n")
+    return "".join(parts)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_python_source(), st.integers(40, 2000))
+def test_ast_chunker_partitions_any_valid_python(src, max_chunk):
+    chunks = chunk_python_ast(src, max_chunk_size=max_chunk)
+    if src.strip() == "":
+        assert chunks == []
+        return
+    assert chunks is not None  # generator only emits valid python
+    assert "".join(c.content for c in chunks) == src  # exact partition
+    # contiguous offsets, sane line ranges, size cap honored
+    pos = 0
+    for c in chunks:
+        assert c.start_offset == pos
+        pos = c.end_offset
+        assert 1 <= c.start_line <= c.end_line
+        assert len(c.content) <= max_chunk
+    assert pos == len(src)
