@@ -266,8 +266,11 @@ def run_bench() -> dict:
         # sf-dir table pipelines
         import __ray_entry__ as entrymod
 
-        for name in ("q_dedup_exact", "q_ngram_jaccard", "q_knn", "q_events_window",
-                     "q_sessions", "q_text_stats", "q_media_features"):
+        for name in ("q_dedup_exact", "q_ngram_jaccard", "q_minhash_pairs",
+                     "q_dedup_clusters", "q_curation", "q_decontam", "q_knn",
+                     "q_lsh_knn", "q_ivf_knn", "q_events_window",
+                     "q_events_hopping", "q_sessions", "q_text_stats",
+                     "q_keywords", "q_media_features", "q_frame_sample"):
             t0 = time.perf_counter()
             out = entrymod.queries()[name](SF_DIR)
             if hasattr(out, "to_pandas"):
