@@ -169,6 +169,27 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
+    # sharded scatter-gather query tier — measured while the cluster is
+    # otherwise quiet (running it after the batch pools measured 5×
+    # worse p95 from actor-teardown contention)
+    from coderag_ray.query.sharded import ShardedSearcher
+
+    n_shards = max(2, min(8, NUM_CPUS // 4))
+    t0 = time.perf_counter()
+    srch = ShardedSearcher(index_dir, n_shards=n_shards,
+                           num_cpus_per_shard=max(1, NUM_CPUS // (2 * n_shards)))
+    results["sharded_startup_s"] = round(time.perf_counter() - t0, 3)
+    srch.search(queries[0], 10)  # warm per-shard preloads
+    sl = []
+    for q in queries:
+        tq = time.perf_counter()
+        srch.search(q, 10)
+        sl.append(time.perf_counter() - tq)
+    results["sharded_query_p95_ms"] = round(
+        float(np.percentile(np.array(sl) * 1000, 95)), 2)
+    results["sharded_n_shards"] = n_shards
+    srch.shutdown()
+
     # each pool actor preloads its resident index once (~secs); the query
     # count must amortize that cold start — long-lived scorer actors are
     # the real deployment shape, so this measures pool spin-up + steady
@@ -216,26 +237,6 @@ def run_bench() -> dict:
         ray.kill(a)
 
     if not os.environ.get("CODERAG_BENCH_SCALING_ONLY"):
-        # sharded scatter-gather query tier: per-shard resident indexes
-        # load in parallel; p95 follows the slowest shard
-        from coderag_ray.query.sharded import ShardedSearcher
-
-        n_shards = max(2, min(8, NUM_CPUS // 4))
-        t0 = time.perf_counter()
-        srch = ShardedSearcher(index_dir, n_shards=n_shards,
-                               num_cpus_per_shard=max(1, NUM_CPUS // (2 * n_shards)))
-        results["sharded_startup_s"] = round(time.perf_counter() - t0, 3)
-        srch.search(queries[0], 10)  # warm per-shard preloads
-        sl = []
-        for q in queries:
-            tq = time.perf_counter()
-            srch.search(q, 10)
-            sl.append(time.perf_counter() - tq)
-        results["sharded_query_p95_ms"] = round(
-            float(np.percentile(np.array(sl) * 1000, 95)), 2)
-        results["sharded_n_shards"] = n_shards
-        srch.shutdown()
-
         # incremental rebuild (resume no-op) — checkpoint overhead
         t0 = time.perf_counter()
         build_index(ray.data.read_parquet(corpus_path), index_dir, cfg, resume=True)
