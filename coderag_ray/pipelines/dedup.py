@@ -281,6 +281,38 @@ def _ngram_pair_scores(docs_ds, n: int = 3,
     )
 
 
+def clusters_from_pairs(pairs: pa.Table) -> pa.Table:
+    """Connected components over an edge table with ``doc_a``/``doc_b``
+    columns (the output shape of :func:`minhash_lsh_pairs` or a
+    thresholded :func:`_ngram_pair_scores`): min-label union-find →
+    (doc_id, cluster_id) sorted by doc_id.  Edges are duplicate-rate-
+    sized by construction, so the driver-side union-find is appropriate;
+    see :func:`near_dup_clusters` for the scale note."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:  # union by smaller root id → canonical min label
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    ids = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "cluster_id": pa.array([find(i) for i in ids], type=pa.int64()),
+    })
+
+
 def near_dup_clusters(docs_ds, threshold: float = 0.5, n: int = 3,
                       max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF):
     """Connected components of the ≥-threshold n-gram-Jaccard pair graph
@@ -306,30 +338,10 @@ def near_dup_clusters(docs_ds, threshold: float = 0.5, n: int = 3,
                    .select(["doc_a", "doc_b"]),
         batch_format="pyarrow",
     ).to_pandas()  # edges only — duplicate-rate-sized, not corpus-sized
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(edges["doc_a"], edges["doc_b"]):
-        a, b = int(a), int(b)
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by smaller root id → canonical min label
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    ids = sorted(parent)
-    return pa.table({
-        "doc_id": pa.array(ids, type=pa.int64()),
-        "cluster_id": pa.array([find(i) for i in ids], type=pa.int64()),
-    })
+    return clusters_from_pairs(pa.table({
+        "doc_a": pa.array(edges["doc_a"].to_numpy(dtype=np.int64), type=pa.int64()),
+        "doc_b": pa.array(edges["doc_b"].to_numpy(dtype=np.int64), type=pa.int64()),
+    }))
 
 
 # ---------------------------------------------------------------------------

@@ -476,3 +476,21 @@ print("DONE_OK")
     assert r.returncode == 0 and "DONE_OK" in r.stdout, out[-800:]
     assert "Failed to hash the schemas" not in out
     assert "unhashable type" not in out
+
+
+def test_clusters_from_minhash_pairs(ray_session):
+    """clusters_from_pairs composes with minhash_lsh_pairs output."""
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import clusters_from_pairs, minhash_lsh_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    tbl = pa.table({
+        "doc_id": pa.array([10, 20, 30, 40], type=pa.int64()),
+        "text": [base, base + " x", base + " y", " ".join(f"v{i}" for i in range(60))],
+    })
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(tbl))
+    out = clusters_from_pairs(pairs).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got.get(10) == 10 and got.get(20) == 10 and got.get(30) == 10
+    assert 40 not in got
