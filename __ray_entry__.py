@@ -543,6 +543,12 @@ def q_events_hopping(sf_dir: str):
     return hopping_window(_events(sf_dir), width_seconds=3600, hop_seconds=1800)
 
 
+def q_props_stats(sf_dir: str):
+    from coderag_ray.pipelines.events import props_stats
+
+    return props_stats(_events(sf_dir))
+
+
 def q_sessions(sf_dir: str):
     from coderag_ray.pipelines.events import session_windows
 
@@ -613,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_knn": q_ivf_knn,
         "q_events_window": q_events_window,
         "q_events_hopping": q_events_hopping,
+        "q_props_stats": q_props_stats,
         "q_sessions": q_sessions,
         "q_media_features": q_media_features,
         "q_frame_sample": q_frame_sample,
@@ -1001,6 +1008,12 @@ x AS (
 )
 SELECT event_type, window_start, count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM x GROUP BY 1, 2
+""",
+        "q_props_stats": """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
 """,
         "q_sessions": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s FROM events),

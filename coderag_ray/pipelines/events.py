@@ -188,3 +188,31 @@ def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS):
         .groupby("ubucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def props_stats(events_ds):
+    """JSON payload extraction + aggregate — the log-analytics step over
+    the ``props`` JSON column: parse per event (stdlib ``json``; an
+    accelerated parser drops into the same stage), extract ``k``, and
+    aggregate per event type.  Cardinality = #event types (bounded), so
+    the declarative groupby is fine here.
+
+    → Dataset (event_type, n_events, sum_k, max_k).
+    """
+    import json as _json
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (_json.loads(p).get("k", 0) if p else 0 for p in t["props"].to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return pa.table({"event_type": t["event_type"], "k": pa.array(ks)})
+
+    return (
+        events_ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("k", alias_name="sum_k"),
+                   Max("k", alias_name="max_k"))
+    )
