@@ -442,6 +442,18 @@ def q_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
 
 
+def q_hash_sample(sf_dir: str):
+    from coderag_ray.pipelines.sampling import hash_sample
+
+    return hash_sample(_docs(sf_dir), rate=10)
+
+
+def q_lang_quota(sf_dir: str):
+    from coderag_ray.pipelines.sampling import lang_quota_sample
+
+    return lang_quota_sample(_docs(sf_dir), quota=20)
+
+
 def q_pattern_stats(sf_dir: str):
     from coderag_ray.pipelines.text_analysis import pattern_stats_batch
 
@@ -604,6 +616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_text_stats": q_text_stats,
         "q_quality": q_quality,
         "q_langid": q_langid,
+        "q_hash_sample": q_hash_sample,
+        "q_lang_quota": q_lang_quota,
         "q_pattern_stats": q_pattern_stats,
         "q_decontam": q_decontam,
         "q_fingerprint": q_fingerprint,
@@ -852,6 +866,39 @@ FROM s
         "q_fingerprint": """
 SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents
+""",
+        "q_hash_sample": """
+WITH h AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket
+  FROM documents)
+SELECT doc_id, bucket FROM h WHERE bucket < 10
+""",
+        "q_lang_quota": """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0) AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(ws, x -> x IN ('der','die','das','und','nicht','ist'))) AS de,
+         len(list_filter(ws, x -> x IN ('the','a','of','and','to','is'))) AS en,
+         len(list_filter(ws, x -> x IN ('el','la','de','que','y','es'))) AS es,
+         len(list_filter(ws, x -> x IN ('le','la','de','et','est','les'))) AS fr,
+         regexp_matches(text, '[一-鿿]') AS cjk
+  FROM w),
+lp AS (
+  SELECT doc_id,
+         CASE WHEN cjk THEN 'zh'
+              WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+              WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+              WHEN en >= es AND en >= fr THEN 'en'
+              WHEN es >= fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM s)
+SELECT doc_id, lang_pred FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang_pred ORDER BY doc_id) AS rn FROM lp)
+WHERE rn <= 20
 """,
         "q_pattern_stats": """
 SELECT doc_id,

@@ -1,0 +1,75 @@
+"""Deterministic sampling operators — reproducible corpus subsetting
+for ablations and curriculum mixes.
+
+- :func:`hash_sample` — keep ~``rate`` percent of docs by a Knuth
+  multiplicative hash of ``doc_id``: same subset on every run, any
+  engine (pure arithmetic mod 2³², mirrored exactly in the SQL
+  oracle) — unlike ``Dataset.random_sample``, which is seed- and
+  partitioning-dependent.
+- :func:`lang_quota_sample` — cap documents per (predicted) language:
+  the mixture-balancing step of a multilingual pipeline.  Language
+  cardinality is bounded, so the per-language group step is a tiny
+  groupby; selection = the ``quota`` smallest doc_ids per language
+  (deterministic, SQL row_number-mirrored).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KNUTH = 2654435761  # golden-ratio multiplicative constant
+
+
+def hash_sample(docs_ds, rate: int = 10):
+    """Keep docs with ``(doc_id · 2654435761) mod 2³² mod 100 < rate``.
+
+    → Dataset (doc_id, bucket) for kept docs (``bucket`` = the 0-99
+    value, exposed so stratified splits can reuse the same hash).
+    numpy uint64 wraparound is exact mod-2⁶⁴ arithmetic, and
+    2³² | 2⁶⁴, so the mod-2³² result equals the full-precision value
+    the SQL oracle computes with HUGEINT.
+    """
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = (d.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(1 << 32)
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        mask = bucket < rate
+        return pa.table({
+            "doc_id": pa.array(d[mask], type=pa.int64()),
+            "bucket": pa.array(bucket[mask], type=pa.int64()),
+        })
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def lang_quota_sample(docs_ds, quota: int = 20):
+    """Per-language doc cap over the predicted language.
+
+    → Dataset (doc_id, lang_pred) with at most ``quota`` docs per
+    language (the smallest doc_ids — deterministic).  One tiny shuffle
+    keyed by language (bounded cardinality).
+    """
+    from coderag_ray.pipelines.text_analysis import LangIdStage
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang_pred": t["lang_pred"],
+        })
+
+    def head_quota(g) -> pa.Table:
+        g = g.sort_values("doc_id").head(quota)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "lang_pred": pa.array(g["lang_pred"].tolist(), type=pa.string()),
+        })
+
+    return (
+        docs_ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("lang_pred")
+        .map_groups(head_quota, batch_format="pandas")
+    )

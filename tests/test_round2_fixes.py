@@ -494,3 +494,37 @@ def test_clusters_from_minhash_pairs(ray_session):
     got = dict(zip(out.doc_id, out.cluster_id))
     assert got.get(10) == 10 and got.get(20) == 10 and got.get(30) == 10
     assert 40 not in got
+
+
+def test_hash_sample_deterministic_and_rate(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.sampling import hash_sample
+
+    tbl = pa.table({"doc_id": pa.array(list(range(10000)), type=pa.int64()),
+                    "text": [""] * 10000})
+    out1 = hash_sample(ray.data.from_arrow(tbl), rate=10).to_pandas()
+    out2 = hash_sample(ray.data.from_arrow(tbl), rate=10).to_pandas()
+    assert sorted(out1.doc_id) == sorted(out2.doc_id)  # reproducible subset
+    assert 0.07 < len(out1) / 10000 < 0.13  # ~10%
+    assert (out1.bucket < 10).all()
+    # rate=100 keeps everything
+    assert len(hash_sample(ray.data.from_arrow(tbl), rate=100).to_pandas()) == 10000
+
+
+def test_lang_quota_caps_per_language(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.sampling import lang_quota_sample
+
+    en = "the cat is one of the animals and it is small"
+    de = "der hund ist nicht das problem und die katze"
+    docs = [en] * 30 + [de] * 5
+    tbl = pa.table({"doc_id": pa.array(list(range(35)), type=pa.int64()),
+                    "text": docs})
+    out = lang_quota_sample(ray.data.from_arrow(tbl), quota=10).to_pandas()
+    counts = out.groupby("lang_pred").size().to_dict()
+    assert counts.get("en") == 10  # capped
+    assert counts.get("de") == 5   # under quota, all kept
+    # deterministic: the smallest doc_ids win
+    assert sorted(out[out.lang_pred == "en"].doc_id) == list(range(10))
