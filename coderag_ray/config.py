@@ -22,6 +22,27 @@ POSTING_BLOCK = 128  # docs per skip block (block-max metadata granularity)
 SCHEMA_VERSION = 1
 
 
+def auto_concurrency(lo: int = 2, cap: int | None = None) -> tuple[int, int]:
+    """Autoscaling ``(min, max)`` actor-pool size for heavy
+    ``map_batches`` stages: min ``lo`` actors, max = the cluster's CPU
+    count (falling back to the host's).  A fixed ``concurrency=2``
+    starves a 32-CPU box — the round-2 bench's worst pipeline
+    (q_minhash_pairs, 29.7 s) spent its wall time in exactly that."""
+    import os
+
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        n = 0
+    if n <= 0:
+        n = os.cpu_count() or 4
+    if cap is not None:
+        n = min(n, cap)
+    return (lo, max(lo, n))
+
+
 @dataclass(frozen=True)
 class IndexConfig:
     """Build-time knobs for the distributed index.

@@ -69,6 +69,38 @@ class BuildReport:
     wall_s: float
     docs_per_sec: float
     phases: dict | None = None  # phase → seconds
+    # how the dirty set was decided: "fresh" (no manifest), "file"
+    # (tier-1 stat sweep, no corpus read) or "content" (tier-2 sha scan)
+    fingerprint_mode: str = "fresh"
+
+
+def _input_file_meta(ds) -> dict[str, list] | None:
+    """Tier-1 (file-level) input fingerprint: {path: [size, mtime_ns]}
+    for every input file backing ``ds``.
+
+    Costs a handful of ``stat`` calls — no data read.  Returns None when
+    the dataset has no file-backed inputs (e.g. ``from_items`` in tests)
+    or a file vanished, in which case resume falls back to the tier-2
+    content-sha scan.  This is what makes a no-op resume O(#files), not
+    O(corpus): the reference's warm startup is <100 ms
+    (``/root/reference/README.md:373``) because SQLite *is* its state;
+    ours is a stat sweep over the input parquet files.
+    """
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    out: dict[str, list] = {}
+    for f in files:
+        p = f[len("local://"):] if f.startswith("local://") else f
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        out[p] = [st.st_size, st.st_mtime_ns]
+    return out
 
 
 def _fingerprints(ingest_ds, num_partitions: int) -> dict[int, str]:
@@ -208,21 +240,43 @@ def build_index(
         or manifest_obj.get("schema_version") != SCHEMA_VERSION
     ):
         manifest_obj = None  # config or index-format change invalidates everything
+    input_meta = _input_file_meta(docs)
     old = mf.manifest_partitions(manifest_obj)
     if old:
-        fps = _fingerprints(ingest_ds, config.num_partitions)
 
-        def _is_clean(p: int) -> bool:
-            row = old.get(p)
-            if row is None or row.get("fingerprint") != fps[p]:
-                return False
+        def _on_disk(p: int) -> bool:
             # a clean non-empty partition must still exist on disk
-            return row.get("n_chunks", 0) == 0 or os.path.isdir(
-                os.path.join(parts_root, f"part={p:05d}")
+            row = old.get(p)
+            return row is not None and (
+                row.get("n_chunks", 0) == 0
+                or os.path.isdir(os.path.join(parts_root, f"part={p:05d}"))
             )
 
-        dirty = [p for p in range(config.num_partitions) if not _is_clean(p)]
+        fp_mode = "content"
+        if input_meta is not None and manifest_obj.get("input_files") == input_meta:
+            fp_mode = "file"
+        if fp_mode == "file":
+            # tier 1: every input file is byte-identical (path/size/mtime)
+            # to what the manifest was built from → skip the corpus scan
+            # entirely.  Only partitions whose on-disk data went missing
+            # are dirty; their fingerprints are recomputed by the writer.
+            fps = None
+            dirty = [
+                p for p in range(config.num_partitions)
+                if p not in old or not _on_disk(p)
+            ]
+        else:
+            # tier 2: input changed (or isn't file-backed) → per-partition
+            # content-sha fingerprints decide the dirty set.
+            fps = _fingerprints(ingest_ds, config.num_partitions)
+            dirty = [
+                p for p in range(config.num_partitions)
+                if old.get(p) is None
+                or old[p].get("fingerprint") != fps[p]
+                or not _on_disk(p)
+            ]
     else:
+        fp_mode = "fresh"
         fps = None
         dirty = list(range(config.num_partitions))
     _phase("fingerprints")
@@ -304,7 +358,8 @@ def build_index(
     _phase("idf")
 
 
-    mf.save_manifest(index_dir, SCHEMA_VERSION, config.to_dict(), part_rows)
+    mf.save_manifest(index_dir, SCHEMA_VERSION, config.to_dict(), part_rows,
+                     input_files=input_meta)
     mf.save_meta(
         index_dir,
         {
@@ -344,4 +399,5 @@ def build_index(
         wall_s=round(wall, 3),
         docs_per_sec=round(n_docs / wall, 2) if wall > 0 else 0.0,
         phases=phases,
+        fingerprint_mode=fp_mode,
     )

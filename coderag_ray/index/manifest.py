@@ -35,15 +35,18 @@ def load_manifest(index_dir: str) -> dict | None:
         return json.load(f)
 
 
-def save_manifest(index_dir: str, version: int, config: dict, partitions: dict[int, dict]) -> None:
-    _atomic_write_json(
-        os.path.join(index_dir, MANIFEST_NAME),
-        {
-            "schema_version": version,
-            "config": config,
-            "partitions": {str(k): v for k, v in sorted(partitions.items())},
-        },
-    )
+def save_manifest(index_dir: str, version: int, config: dict, partitions: dict[int, dict],
+                  *, input_files: dict[str, list] | None = None) -> None:
+    obj = {
+        "schema_version": version,
+        "config": config,
+        "partitions": {str(k): v for k, v in sorted(partitions.items())},
+    }
+    if input_files is not None:
+        # tier-1 resume fingerprint: {path: [size, mtime_ns]} of every
+        # input file — lets a no-op resume skip the content scan
+        obj["input_files"] = input_files
+    _atomic_write_json(os.path.join(index_dir, MANIFEST_NAME), obj)
 
 
 def load_meta(index_dir: str) -> dict:

@@ -134,11 +134,14 @@ def exact_dedup(docs_ds):
 # ---------------------------------------------------------------------------
 
 
-DEFAULT_MAX_SHINGLE_DF = 1024
+# Recommended hot-shingle df cap at corpus scale — NOT the default:
+# capping silently changes exact all-pairs Jaccard into an approximation,
+# so scale-sensitive callers opt in explicitly (the bench does).
+SCALE_MAX_SHINGLE_DF = 1024
 
 
 def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
-                        max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF):
+                        max_shingle_df: int | None = None):
     """Top-``top`` doc pairs by exact word-n-gram Jaccard.
 
     Returns a pyarrow Table (doc_a, doc_b, n_common, n_a, n_b, jaccard)
@@ -156,9 +159,12 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
       corrupts 63-bit stable doc ids, e.g. the engine's own
       ``stable_doc_id``);
     - ``max_shingle_df`` caps the O(df²) pair blowup of a hot shingle
-      (boilerplate headers, empty-ish docs).  ON by default; dropped
-      runs are counted and logged.  Pass ``None`` only when exact
-      all-pairs parity is required (the SQL-oracle configuration);
+      (boilerplate headers, empty-ish docs).  OFF by default — the
+      default result is the exact all-pairs Jaccard (SQL-oracle
+      parity); pass ``SCALE_MAX_SHINGLE_DF`` (or your own cap) at
+      corpus scale, where one boilerplate shingle shared by 10^6 docs
+      would otherwise expand to 10^12 pair rows.  Dropped runs are
+      counted and logged;
     - the jaccard/top-k tail is a distributed ``sort().limit()`` —
       only the final ``top`` rows ever reach the driver.
     """
@@ -181,7 +187,7 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, top: int = 50,
 
 
 def _ngram_pair_scores(docs_ds, n: int = 3,
-                       max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF):
+                       max_shingle_df: int | None = None):
     """Distributed Dataset of scored pairs
     (doc_a, doc_b, n_common, n_a, n_b, jaccard) — the shared engine of
     :func:`ngram_jaccard_pairs` and :func:`near_dup_clusters`."""
@@ -314,7 +320,7 @@ def clusters_from_pairs(pairs: pa.Table) -> pa.Table:
 
 
 def near_dup_clusters(docs_ds, threshold: float = 0.5, n: int = 3,
-                      max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF):
+                      max_shingle_df: int | None = None):
     """Connected components of the ≥-threshold n-gram-Jaccard pair graph
     — the "keep one per cluster" step after near-dup detection.
 
@@ -520,8 +526,11 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
         b = (splitmix64(h) % np.uint64(256)).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
+    from coderag_ray.config import auto_concurrency
+
     bands = (docs_ds.map_batches(MinHashStage, fn_constructor_args=(n,),
-                                 batch_format="pyarrow", concurrency=2)
+                                 batch_format="pyarrow",
+                                 concurrency=auto_concurrency())
              .map_batches(add_band_bucket, batch_format="pyarrow"))
 
     def pairs_of_bucket(g: pd.DataFrame) -> pa.Table:

@@ -61,19 +61,27 @@ def build_vector_ann(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> in
     ``vector-storage.ts:67-377``, re-expressed as a partitioned-parquet
     layout).
 
-    One Ray task per index partition — no shuffle: each task joins its
-    partition's ``embeddings.parquet`` with the ordinal-aligned doc ids
-    and appends one file per touched bucket under
-    ``ann/bucket=NNNN/part-<pid>.parquet`` (tmp+rename, so retries
-    overwrite their own output).  Returns rows indexed.
+    Two map/reduce waves, no shuffle through the object store: one Ray
+    task per index partition writes ``bucket=NNNN/part-<pid>.parquet``
+    map outputs into a FRESH staging dir, then one task per bucket
+    compacts its part files into a single ``data.parquet`` (queries
+    probe one file per bucket instead of up to P small files — the
+    round-2 cold-probe p95 inversion came from exactly that fan-out).
+    The staging dir atomically replaces ``ann/`` at the end, so a
+    rebuild can never serve stale buckets from a previous build.
+    Returns rows indexed.
     """
+    import shutil
+
     import ray
 
     from coderag_ray.pipelines.similarity import _bucket_of, _planes
 
     reader = IndexReader(index_dir)
-    ann_dir = os.path.join(index_dir, ANN_DIRNAME)
-    os.makedirs(ann_dir, exist_ok=True)
+    final_ann_dir = os.path.join(index_dir, ANN_DIRNAME)
+    ann_dir = os.path.join(index_dir, f"_tmp_{ANN_DIRNAME}_{os.getpid()}")
+    shutil.rmtree(ann_dir, ignore_errors=True)
+    os.makedirs(ann_dir)
 
     @ray.remote
     def ann_part(part_dir: str, pid: int, ann_root: str) -> int:
@@ -108,9 +116,27 @@ def build_vector_ann(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> in
             os.replace(tmp, path)
         return len(buckets)
 
+    @ray.remote
+    def compact_bucket(bdir: str) -> int:
+        parts = sorted(f for f in os.listdir(bdir) if f.startswith("part-"))
+        tbl = pa.concat_tables([pq.read_table(os.path.join(bdir, f)) for f in parts])
+        tmp = os.path.join(bdir, f"_data.tmp{os.getpid()}")
+        pq.write_table(tbl, tmp, compression="zstd")
+        for f in parts:
+            os.remove(os.path.join(bdir, f))
+        os.replace(tmp, os.path.join(bdir, "data.parquet"))
+        return tbl.num_rows
+
     futures = [ann_part.remote(reader.part_dir(pid), pid, ann_dir)
                for pid in reader.partitions]
-    return int(sum(ray.get(futures)))
+    n = int(sum(ray.get(futures)))
+    bdirs = [os.path.join(ann_dir, d) for d in os.listdir(ann_dir)
+             if d.startswith("bucket=")]
+    ray.get([compact_bucket.remote(b) for b in bdirs])
+    if os.path.isdir(final_ann_dir):
+        shutil.rmtree(final_ann_dir)
+    os.replace(ann_dir, final_ann_dir)
+    return n
 
 
 def vector_topk_ann(reader: IndexReader, query: str, k: int,

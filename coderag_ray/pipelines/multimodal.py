@@ -55,9 +55,14 @@ class MediaFeatureStage:
         )
 
 
-def media_features(docs_ds, batch_size: int = 256, concurrency: int = 2):
+def media_features(docs_ds, batch_size: int = 256, concurrency=None):
     """documents → binary payload (utf-8 of text, standing in for image
-    bytes) → actor-pool feature extraction."""
+    bytes) → actor-pool feature extraction.  ``concurrency=None`` →
+    autoscaling pool sized to the cluster's CPUs."""
+    from coderag_ray.config import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
 
     def to_payload(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -118,8 +123,13 @@ class FrameSampleStage:
         )
 
 
-def frame_samples(docs_ds, batch_size: int = 256, concurrency: int = 2):
-    """documents → binary payload → actor-pool frame sampling."""
+def frame_samples(docs_ds, batch_size: int = 256, concurrency=None):
+    """documents → binary payload → actor-pool frame sampling.
+    ``concurrency=None`` → autoscaling pool sized to the cluster."""
+    from coderag_ray.config import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
 
     def to_payload(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -49,15 +49,31 @@ def lang_quota_sample(docs_ds, quota: int = 20):
     """Per-language doc cap over the predicted language.
 
     → Dataset (doc_id, lang_pred) with at most ``quota`` docs per
-    language (the smallest doc_ids — deterministic).  One tiny shuffle
-    keyed by language (bounded cardinality).
+    language (the smallest doc_ids — deterministic).
+
+    Scale shape: a bare ``groupby(lang).map_groups`` would concentrate
+    *every document of a language* into one group task — at corpus
+    scale the dominant language IS most of the corpus.  Instead a
+    shuffle-free per-batch combiner first keeps the ``quota`` smallest
+    doc_ids per language per batch (monotone selection, so the global
+    winners always survive it), and only those ≤ quota×n_langs summary
+    rows per batch reach the language-keyed merge.
     """
+    from coderag_ray.config import auto_concurrency
     from coderag_ray.pipelines.text_analysis import LangIdStage
 
-    def project(t: pa.Table) -> pa.Table:
+    def local_quota(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False),
+            "lang_pred": t["lang_pred"].to_pylist(),
+        })
+        df = df.sort_values("doc_id", kind="stable").groupby(
+            "lang_pred", sort=False).head(quota)
         return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
-            "lang_pred": t["lang_pred"],
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "lang_pred": pa.array(df["lang_pred"].tolist(), type=pa.string()),
         })
 
     def head_quota(g) -> pa.Table:
@@ -68,8 +84,9 @@ def lang_quota_sample(docs_ds, quota: int = 20):
         })
 
     return (
-        docs_ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
-        .map_batches(project, batch_format="pyarrow")
+        docs_ds.map_batches(LangIdStage, batch_format="pyarrow",
+                            concurrency=auto_concurrency())
+        .map_batches(local_quota, batch_format="pyarrow")
         .groupby("lang_pred")
         .map_groups(head_quota, batch_format="pandas")
     )

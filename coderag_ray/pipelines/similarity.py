@@ -45,21 +45,40 @@ def emb_matrix(col) -> np.ndarray:
     return np.asarray(la.flatten(), dtype=np.float64).reshape(len(la), -1)
 
 
+def _grab_queries(emb_ds, query_ids: list[int]) -> pd.DataFrame:
+    """Pull the query rows out of the (distributed) embedding dataset.
+
+    Raises ``KeyError`` when any requested id is absent — silently
+    dropping ids would return fewer result groups than asked for, and an
+    empty query set would later crash opaquely inside ``np.stack``.
+    """
+    import pyarrow.compute as pc
+
+    qset = pa.array(sorted(set(query_ids)), type=pa.int64())
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=qset))
+
+    q = (emb_ds.map_batches(grab, batch_format="pyarrow")
+         .to_pandas().sort_values("vec_id"))
+    missing = sorted(set(int(i) for i in query_ids) - set(int(v) for v in q["vec_id"]))
+    if missing:
+        raise KeyError(
+            f"query_ids not present in embedding dataset: {missing[:10]}"
+            + (f" (+{len(missing) - 10} more)" if len(missing) > 10 else "")
+        )
+    return q
+
+
 def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
     """Exact cosine top-k for each query vector id.
 
     → pyarrow Table (query_id, vec_id, cos_sim round6), per query the k
     nearest (self excluded), ordered (query_id, cos_sim DESC, vec_id).
     """
-    import pyarrow.compute as pc
     import ray
 
-    qset = pa.array(sorted(query_ids), type=pa.int64())
-
-    def grab(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=qset))
-
-    q = emb_ds.map_batches(grab, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    q = _grab_queries(emb_ds, query_ids)
     Q = _normalize(np.stack(q["embedding"].to_numpy()).astype(np.float64))
     qids = q["vec_id"].to_numpy().astype(np.int64)
     q_ref = ray.put((qids, Q))
@@ -129,9 +148,27 @@ def build_lsh_index(emb_ds, index_dir: str) -> None:
             }
         )
 
-    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"]
-    )
+    _write_bucketed(emb_ds.map_batches(assign, batch_format="pyarrow"), index_dir)
+
+
+def _write_bucketed(ds, index_dir: str, extra_files: dict[str, bytes] | None = None) -> None:
+    """Write a bucket-partitioned layout into a FRESH directory and
+    atomically swap it in — appending into an existing ``bucket=*``
+    layout would leave stale files from a previous build (old / deleted
+    / re-bucketed vectors) that probes would then concatenate into
+    results."""
+    import os
+    import shutil
+
+    tmp = index_dir.rstrip("/") + f"._tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp, partition_cols=["bucket"])
+    for name, payload in (extra_files or {}).items():
+        with open(os.path.join(tmp, name), "wb") as f:
+            f.write(payload)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp, index_dir)
 
 
 def _probe_buckets(Qn: np.ndarray, multiprobe: int) -> list[set[int]]:
@@ -262,21 +299,13 @@ def lsh_knn(emb_ds, query_ids: list[int], k: int = 5, multiprobe: int = 2,
     import shutil
     import tempfile
 
-    import pyarrow.compute as pc
-
     own = index_dir is None
     if own:
         index_dir = tempfile.mkdtemp(prefix="coderag_lsh_")
     try:
         if not any(n.startswith("bucket=") for n in os.listdir(index_dir)):
             build_lsh_index(emb_ds, index_dir)
-        qset = pa.array(sorted(query_ids), type=pa.int64())
-
-        def grab(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=qset))
-
-        q = (emb_ds.map_batches(grab, batch_format="pyarrow")
-             .to_pandas().sort_values("vec_id"))
+        q = _grab_queries(emb_ds, query_ids)
         Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
         return lsh_probe(index_dir, q["vec_id"].to_numpy(dtype=np.int64), Q,
                          k=k, multiprobe=multiprobe)
@@ -309,20 +338,36 @@ def _kmeans_cosine(E: np.ndarray, n_centroids: int, n_iters: int = 10) -> np.nda
     return C
 
 
+IVF_TRAIN_TARGET = 65536  # max k-means training vectors by default
+
+
+def derive_sample_mod(n_vectors: int, target: int = IVF_TRAIN_TARGET) -> int:
+    """Smallest modulus that bounds the deterministic hash sample
+    (``splitmix64(vec_id) % mod == 0``) at ≈``target`` training vectors.
+    Resolves to 1 (use every vector, today's exact outputs) whenever the
+    corpus already fits the target."""
+    return max(1, -(-int(n_vectors) // int(target)))
+
+
 def build_ivf_index(emb_ds, index_dir: str, n_centroids: int = IVF_CENTROIDS,
-                    n_iters: int = 10, sample_mod: int = 1) -> np.ndarray:
+                    n_iters: int = 10, sample_mod: int | None = None) -> np.ndarray:
     """IVF layout: train a coarse quantizer on a deterministic hash
-    sample (``splitmix64(vec_id) % sample_mod == 0``; 1 = all rows —
-    fine at test scale, pass a larger modulus at corpus scale so the
-    training sample stays bounded), then assign every vector to its
-    nearest centroid in ``map_batches`` and write one parquet partition
-    per centroid — identical probe machinery to the LSH layout.
-    Returns the centroid matrix (also persisted as ``centroids.npy``)."""
-    import os
+    sample (``splitmix64(vec_id) % sample_mod == 0``), then assign every
+    vector to its nearest centroid in ``map_batches`` and write one
+    parquet partition per centroid — identical probe machinery to the
+    LSH layout.  ``sample_mod=None`` derives the modulus from the corpus
+    size so the training sample never exceeds ~64 k vectors — k-means
+    training must stay bounded no matter the corpus; pass 1 explicitly
+    to force training on everything.  Returns the centroid matrix (also
+    persisted as ``centroids.npy``)."""
+    import io
 
     import pyarrow.compute as pc
 
     from coderag_ray.functions.hashing import splitmix64
+
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(emb_ds.count())
 
     def grab_sample(t: pa.Table) -> pa.Table:
         v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -334,8 +379,8 @@ def build_ivf_index(emb_ds, index_dir: str, n_centroids: int = IVF_CENTROIDS,
     E = _normalize(emb_matrix(pa.table({
         "embedding": pa.array(list(sample["embedding"]))})["embedding"]))
     C = _kmeans_cosine(E, n_centroids, n_iters)
-    os.makedirs(index_dir, exist_ok=True)
-    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    buf = io.BytesIO()
+    np.save(buf, C)
 
     def assign(t: pa.Table) -> pa.Table:
         En = _normalize(emb_matrix(t["embedding"]))
@@ -349,9 +394,8 @@ def build_ivf_index(emb_ds, index_dir: str, n_centroids: int = IVF_CENTROIDS,
             }
         )
 
-    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"]
-    )
+    _write_bucketed(emb_ds.map_batches(assign, batch_format="pyarrow"), index_dir,
+                    extra_files={"centroids.npy": buf.getvalue()})
     return C
 
 
@@ -379,21 +423,13 @@ def ivf_knn(emb_ds, query_ids: list[int], k: int = 5, n_probe: int = 4,
     import shutil
     import tempfile
 
-    import pyarrow.compute as pc
-
     own = index_dir is None
     if own:
         index_dir = tempfile.mkdtemp(prefix="coderag_ivf_")
     try:
         if not any(n.startswith("bucket=") for n in os.listdir(index_dir)):
             build_ivf_index(emb_ds, index_dir)
-        qset = pa.array(sorted(query_ids), type=pa.int64())
-
-        def grab(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=qset))
-
-        q = (emb_ds.map_batches(grab, batch_format="pyarrow")
-             .to_pandas().sort_values("vec_id"))
+        q = _grab_queries(emb_ds, query_ids)
         Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
         return ivf_probe(index_dir, q["vec_id"].to_numpy(dtype=np.int64), Q,
                          k=k, n_probe=n_probe)

@@ -95,17 +95,24 @@ class LRUCache:
 def create_cache_key(query: str, *, limit: int | None = None,
                      file_extensions: list[str] | None = None,
                      path_filter: str | None = None,
-                     exclude_paths: list[str] | None = None) -> str:
+                     exclude_paths: list[str] | None = None,
+                     extra: dict | None = None) -> str:
     """``createCacheKey`` (``search-cache.ts:139-155``): lowercased
     trimmed query | limit (default 10) | sorted extensions | path filter
-    | sorted excludes, pipe-joined."""
-    return "|".join([
+    | sorted excludes, pipe-joined.  ``extra`` canonically serializes any
+    engine-side options beyond the reference's key (mode, use_wand,
+    min_score, ...) so e.g. a cosine query never returns a cached bm25
+    result for the same text."""
+    parts = [
         query.lower().strip(),
         str(limit) if limit is not None else "10",
         ",".join(sorted(file_extensions)) if file_extensions else "",
         path_filter or "",
         ",".join(sorted(exclude_paths)) if exclude_paths else "",
-    ])
+    ]
+    if extra:
+        parts.append(",".join(f"{k}={extra[k]!r}" for k in sorted(extra)))
+    return "|".join(parts)
 
 
 class CachedSearcher:
@@ -139,6 +146,7 @@ class CachedSearcher:
             file_extensions=getattr(filters, "file_extensions", None),
             path_filter=getattr(filters, "path_filter", None),
             exclude_paths=getattr(filters, "exclude_paths", None),
+            extra=kwargs,
         )
         hit = self.cache.get(key)
         if hit is not None:

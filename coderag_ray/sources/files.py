@@ -96,7 +96,10 @@ class GitignoreFilter:
         verdict = False
         for rule in self._rules:
             neg = rule[0]
-            if any(self._match_one(c, d or rule[2], rule) for c, d in candidates):
+            # each candidate keeps its REAL is_dir: a dir-only pattern
+            # (`build/`) must not match a plain file named `build` —
+            # files underneath are covered by the parent-dir candidates
+            if any(self._match_one(c, d, rule) for c, d in candidates):
                 verdict = not neg
         return verdict
 

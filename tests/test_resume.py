@@ -73,6 +73,51 @@ def test_single_doc_change_rebuilds_one_partition(ray_session, tmp_path, corpus)
     assert res.num_rows >= 1 and res["doc_id"][0].as_py() == ids[victim]
 
 
+def test_file_level_noop_resume(ray_session, tmp_path, corpus):
+    """Two-tier resume: unchanged input files → tier-1 stat sweep only
+    (no corpus re-read); touched mtime → tier-2 content scan, still
+    zero dirty partitions; real edit → exactly one partition rebuilt."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(corpus, src)
+    d = str(tmp_path / "idx")
+    r1 = build_index(src, d, CFG)
+    assert r1.fingerprint_mode == "fresh"
+    assert load_manifest(d).get("input_files"), "tier-1 fingerprint missing"
+
+    r2 = build_index(src, d, CFG)
+    assert r2.fingerprint_mode == "file"  # no content scan
+    assert r2.dirty_partitions == 0
+    assert r2.n_chunks == r1.n_chunks
+
+    os.utime(src)  # mtime bump → tier-1 miss, tier-2 finds no change
+    r3 = build_index(src, d, CFG)
+    assert r3.fingerprint_mode == "content"
+    assert r3.dirty_partitions == 0
+
+    # a real edit goes through tier-2 and rebuilds only its partition
+    contents = corpus["content"].to_pylist()
+    contents[3] = contents[3] + "\nfunction tierTwoSymbol() {}"
+    corpus2 = corpus.set_column(
+        corpus.schema.get_field_index("content"), "content", pa.array(contents)
+    )
+    pq.write_table(corpus2, src)
+    r4 = build_index(src, d, CFG)
+    assert r4.fingerprint_mode == "content"
+    assert r4.dirty_partitions == 1
+    res = search(d, "tierTwoSymbol", 5, with_doc_columns=False)
+    assert res.num_rows >= 1
+
+    # and the partition dir self-heals through tier-1 without a scan
+    victim = next(p for p in range(CFG.num_partitions)
+                  if load_manifest(d)["partitions"][str(p)]["n_chunks"] > 0)
+    shutil.rmtree(os.path.join(d, "parts", f"part={victim:05d}"))
+    r5 = build_index(src, d, CFG)
+    assert r5.fingerprint_mode == "file"
+    assert r5.dirty_partitions == 1
+
+
 def test_resume_result_equals_fresh_build(ray_session, tmp_path, corpus):
     """Kill-and-resume analog: fresh build vs resumed build → identical
     search results and identical idf."""

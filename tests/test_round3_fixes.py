@@ -1,0 +1,184 @@
+"""Round-3 fixes: cache-key completeness, stale-ANN-dir rebuilds,
+gitignore dir-only semantics, scale-safe IVF training, lang-quota
+combiner under skew, missing-query-id validation."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from coderag_ray.query.cache import create_cache_key
+
+
+# --------------------------------------------------------------------------
+# cache key must separate engine-side kwargs (mode, use_wand, min_score)
+# --------------------------------------------------------------------------
+
+def test_cache_key_separates_engine_kwargs():
+    base = create_cache_key("Foo Bar", limit=10)
+    assert create_cache_key("foo bar ", limit=10) == base  # ref normalization
+    assert create_cache_key("Foo Bar", limit=10, extra={"mode": "cosine"}) != base
+    assert create_cache_key("Foo Bar", limit=10, extra={"use_wand": True}) != \
+        create_cache_key("Foo Bar", limit=10, extra={"use_wand": False})
+    # canonical ordering: dict insertion order must not matter
+    assert create_cache_key("q", extra={"a": 1, "b": 2}) == \
+        create_cache_key("q", extra={"b": 2, "a": 1})
+
+
+def test_cached_searcher_mode_not_cross_served(ray_session, tmp_path):
+    import ray.data
+
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.corpus import make_corpus
+    from coderag_ray.index.build import build_index
+    from coderag_ray.index.reader import IndexReader
+    from coderag_ray.pipelines.hybrid import build_embeddings
+    from coderag_ray.query.cache import CachedSearcher
+
+    d = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(make_corpus(60, seed=21)), d,
+                IndexConfig(num_partitions=2))
+    build_embeddings(d, dimensions=16)
+    cs = CachedSearcher(IndexReader(d))
+    bm = cs.search("validate credentials", 5, mode="bm25", with_doc_columns=False)
+    cos = cs.search("validate credentials", 5, mode="cosine", with_doc_columns=False)
+    # before the fix the second call returned the cached bm25 table
+    assert "score" in bm.column_names
+    assert cos["score"].to_pylist() != bm["score"].to_pylist()
+    # and repeated identical calls DO hit the cache
+    again = cs.search("validate credentials", 5, mode="cosine", with_doc_columns=False)
+    assert again.equals(cos)
+    assert cs.cache.stats().hits >= 1
+
+
+# --------------------------------------------------------------------------
+# ANN rebuild must not serve stale buckets; buckets are compacted
+# --------------------------------------------------------------------------
+
+def test_vector_ann_rebuild_clears_stale_buckets(ray_session, tmp_path):
+    import ray.data
+
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.corpus import make_corpus
+    from coderag_ray.index.build import build_index
+    from coderag_ray.index.reader import IndexReader
+    from coderag_ray.pipelines.hybrid import (
+        ANN_DIRNAME, build_embeddings, build_vector_ann, vector_topk_ann,
+    )
+
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(num_partitions=2)
+    build_index(ray.data.from_arrow(make_corpus(80, seed=5)), d, cfg)
+    build_embeddings(d, dimensions=16)
+    n1 = build_vector_ann(d, dimensions=16)
+    ann = os.path.join(d, ANN_DIRNAME)
+    # compacted: exactly one data file per bucket, no map-side part files
+    for b in os.listdir(ann):
+        files = os.listdir(os.path.join(ann, b))
+        assert files == ["data.parquet"], files
+
+    # rebuild from a SMALLER corpus in the SAME index dir: total indexed
+    # rows must shrink — stale ANN buckets from the previous build must
+    # not survive the rebuild
+    build_index(ray.data.from_arrow(make_corpus(20, seed=5)), d, cfg)
+    build_embeddings(d, dimensions=16)
+    n2 = build_vector_ann(d, dimensions=16)
+    assert n2 < n1
+    import pyarrow.parquet as pq
+    total = sum(
+        pq.read_table(os.path.join(ann, b, "data.parquet")).num_rows
+        for b in os.listdir(ann)
+    )
+    assert total == n2
+    out = vector_topk_ann(IndexReader(d), "database connection", 5, dimensions=16)
+    assert out.num_rows <= 5
+
+
+# --------------------------------------------------------------------------
+# gitignore: dir-only pattern must not match a plain file of that name
+# --------------------------------------------------------------------------
+
+def test_gitignore_dir_only_does_not_match_file():
+    from coderag_ray.sources.files import GitignoreFilter
+
+    ig = GitignoreFilter(["out/"])
+    assert ig.ignores("out", is_dir=True)
+    assert ig.ignores("out/main.js")        # file under the ignored dir
+    assert not ig.ignores("out", is_dir=False)  # plain file named `out`
+    assert not ig.ignores("src/out.ts")
+    # non-dir-only pattern still matches both
+    ig2 = GitignoreFilter(["out"])
+    assert ig2.ignores("out", is_dir=False)
+    assert ig2.ignores("out", is_dir=True)
+
+
+# --------------------------------------------------------------------------
+# IVF: derived sample_mod bounds the k-means training sample
+# --------------------------------------------------------------------------
+
+def test_derive_sample_mod_bounds_training_sample():
+    from coderag_ray.pipelines.similarity import IVF_TRAIN_TARGET, derive_sample_mod
+
+    assert derive_sample_mod(0) == 1
+    assert derive_sample_mod(1000) == 1          # small corpora: train on all
+    assert derive_sample_mod(IVF_TRAIN_TARGET) == 1
+    for n in (IVF_TRAIN_TARGET + 1, 10**7, 10**11):
+        mod = derive_sample_mod(n)
+        # expected sample size n/mod stays within the target (±1 bucket)
+        assert n / mod <= IVF_TRAIN_TARGET
+        # and not wastefully small: halving mod would overflow the target
+        assert mod == 1 or n / (mod - 1) > IVF_TRAIN_TARGET or mod - 1 == 0
+
+
+# --------------------------------------------------------------------------
+# kNN entry points raise on unknown query ids (no silent drops)
+# --------------------------------------------------------------------------
+
+def _emb_ds(n=40, d=8):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    E = rng.standard_normal((n, d))
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(E.tolist(), type=pa.list_(pa.float64())),
+    }))
+
+
+@pytest.mark.parametrize("fn", ["knn_bruteforce", "lsh_knn", "ivf_knn"])
+def test_knn_missing_query_id_raises(ray_session, fn):
+    import coderag_ray.pipelines.similarity as sim
+
+    ds = _emb_ds()
+    with pytest.raises(KeyError, match="9999"):
+        getattr(sim, fn)(ds, [1, 9999], k=3)
+
+
+# --------------------------------------------------------------------------
+# lang_quota_sample: combiner correctness under multi-batch skew
+# --------------------------------------------------------------------------
+
+def test_lang_quota_sample_skewed_multibatch(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.sampling import lang_quota_sample
+    from coderag_ray.pipelines.text_analysis import LangIdStage
+
+    # 99% one language, spread over many blocks
+    en = "the quick brown fox jumps over the lazy dog and runs away today"
+    de = "der schnelle braune fuchs springt über den faulen hund und rennt"
+    texts = [en + f" {i}" for i in range(990)] + [de + f" {i}" for i in range(10)]
+    ids = list(range(1000))
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    quota = 7
+    out = lang_quota_sample(ds, quota=quota).to_pandas()
+    # ≤ quota per language, and exactly the smallest doc_ids of each
+    truth = LangIdStage()(tbl).to_pandas()
+    expect = (truth.sort_values("doc_id").groupby("lang_pred").head(quota))
+    got = set(map(tuple, out[["doc_id", "lang_pred"]].itertuples(index=False)))
+    want = set(map(tuple, expect[["doc_id", "lang_pred"]].itertuples(index=False)))
+    assert got == want
+    assert out.groupby("lang_pred").size().max() <= quota
