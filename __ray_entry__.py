@@ -424,6 +424,48 @@ def q_chunk_ast(sf_dir: str):
     return _docs(sf_dir).map_batches(per_doc, batch_format="pyarrow")
 
 
+def q_chunk_ast_js(sf_dir: str):
+    """Brace-language (TS/JS) semantic chunker (M6 for the reference's
+    PRIMARY languages, ``ast-chunking.ts:47-54``) driven over a
+    deterministic JavaScript rendering of each document (one function
+    per word, capped at 50).  SQL-checkable projection: chunk counts +
+    per-chunk-type counts + sha256 of the reassembled source — holds
+    only if the brace lexer's chunks exactly partition real JS.
+    Boundary/entity semantics are pytest-verified against the
+    reference's ``ast-chunking.test.ts`` cases."""
+    import hashlib as _hl
+
+    from coderag_ray.functions.brace_chunker import chunk_braces_ast
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        ids, n_chunks, n_funcs, n_chars, shas = [], [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = [w for w in text.split() if w][:50]
+            src = "\n".join(f"function f{i}() {{\n  return {len(w)};\n}}"
+                            for i, w in enumerate(words))
+            if words:
+                src += "\n"
+            chunks = chunk_braces_ast(src, "javascript", 1000)
+            assert chunks is not None
+            assert "".join(c.content for c in chunks) == src, "chunks must partition the source"
+            ids.append(did)
+            n_chunks.append(len(chunks))
+            n_funcs.append(sum(1 for c in chunks if c.type == "function"))
+            n_chars.append(len(src))
+            shas.append(_hl.sha256(src.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_chunks": pa.array(n_chunks, type=pa.int64()),
+                "n_functions": pa.array(n_funcs, type=pa.int64()),
+                "n_src_chars": pa.array(n_chars, type=pa.int64()),
+                "src_sha256": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+
+
 def q_text_stats(sf_dir: str):
     from coderag_ray.pipelines.text_analysis import text_stats_batch
 
@@ -613,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hybrid_topk": q_hybrid_topk,
         "q_keywords": q_keywords,
         "q_chunk_ast": q_chunk_ast,
+        "q_chunk_ast_js": q_chunk_ast_js,
         "q_text_stats": q_text_stats,
         "q_quality": q_quality,
         "q_langid": q_langid,
@@ -802,6 +845,28 @@ ex AS (
 agg AS (
   SELECT doc_id,
          string_agg('def f' || i || '():' || chr(10) || '    return ' || length(wd),
+                    chr(10) ORDER BY i) AS txt,
+         count(*) AS n
+  FROM ex GROUP BY doc_id),
+src AS (
+  SELECT w.doc_id,
+         COALESCE(agg.txt || chr(10), '') AS src,
+         CAST(COALESCE(agg.n, 0) AS BIGINT) AS nf
+  FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id)
+SELECT doc_id, nf AS n_chunks, nf AS n_functions,
+       CAST(length(src) AS BIGINT) AS n_src_chars, sha256(src) AS src_sha256
+FROM src
+""",
+        "q_chunk_ast_js": """
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
+  FROM documents),
+ex AS (
+  SELECT doc_id, i, ws[CAST(i+1 AS BIGINT)] AS wd
+  FROM (SELECT doc_id, ws, unnest(range(0, least(len(ws), 50))) AS i FROM w)),
+agg AS (
+  SELECT doc_id,
+         string_agg('function f' || i || '() {' || chr(10) || '  return ' || length(wd) || ';' || chr(10) || '}',
                     chr(10) ORDER BY i) AS txt,
          count(*) AS n
   FROM ex GROUP BY doc_id),

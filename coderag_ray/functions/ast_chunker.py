@@ -126,6 +126,59 @@ def _merge_blank_fillers(segs: list[_Seg], lines: list[str]) -> list[_Seg]:
     return out
 
 
+def line_starts(code: str, lines: list[str]) -> list[int]:
+    """Char offset of each 0-based line start; sentinel = len(code)+1."""
+    out = [0]
+    for ln in lines:
+        out.append(out[-1] + len(ln) + 1)
+    return out
+
+
+def emit_chunks(segs: list[_Seg], code: str, line_start: list[int],
+                max_chunk_size: int) -> list[AstChunk]:
+    """Shared final pass for every semantic chunker (Python AST and the
+    brace/indent lexers): segments → AstChunks, greedily splitting any
+    oversized segment at line boundaries (hard char split for monster
+    lines), parts keeping the parent's type/entities + ``part`` index."""
+    import bisect
+
+    def char_range(s_line: int, e_line: int) -> tuple[int, int]:
+        return (min(line_start[s_line], len(code)),
+                min(line_start[e_line + 1], len(code)))
+
+    out: list[AstChunk] = []
+    for seg in segs:
+        s_off, e_off = char_range(seg.start, seg.end)
+        if e_off <= s_off:
+            continue
+        meta_base = {"fallback": False,
+                     "scope": seg.scope,
+                     "entities": seg.entities}
+        if e_off - s_off <= max_chunk_size:
+            out.append(AstChunk(code[s_off:e_off], seg.type,
+                                seg.start + 1, seg.end + 1, s_off, e_off,
+                                json.dumps(meta_base, sort_keys=True)))
+            continue
+        breaks = sorted({min(line_start[i + 1], e_off)
+                         for i in range(seg.start, seg.end + 1)})
+        pos = s_off
+        part = 0
+        while pos < e_off:
+            cap = pos + max_chunk_size
+            cands = [b for b in breaks if pos < b <= cap]
+            nxt = cands[-1] if cands else min(cap, e_off)
+            sl = max(seg.start, bisect.bisect_right(line_start, pos) - 1)
+            el = min(seg.end, max(sl, bisect.bisect_right(line_start, nxt - 1) - 1))
+            meta = dict(meta_base)
+            meta["part"] = part
+            out.append(AstChunk(code[pos:nxt], seg.type,
+                                sl + 1, el + 1, pos, nxt,
+                                json.dumps(meta, sort_keys=True)))
+            part += 1
+            pos = nxt
+    return out
+
+
 def chunk_python_ast(code: str, max_chunk_size: int = 1000) -> list[AstChunk] | None:
     """AST-chunk Python source; ``None`` means "fall back" (parse error).
 
@@ -141,10 +194,7 @@ def chunk_python_ast(code: str, max_chunk_size: int = 1000) -> list[AstChunk] | 
 
     lines = code.split("\n")
     n_lines = len(lines)
-    # char offset of each 0-based line start; sentinel = len(code)+1
-    line_start = [0]
-    for ln in lines:
-        line_start.append(line_start[-1] + len(ln) + 1)
+    line_start = line_starts(code, lines)
 
     def char_range(s_line: int, e_line: int) -> tuple[int, int]:
         return (min(line_start[s_line], len(code)),
@@ -180,37 +230,4 @@ def chunk_python_ast(code: str, max_chunk_size: int = 1000) -> list[AstChunk] | 
         else:
             expanded.append(seg)
 
-    out: list[AstChunk] = []
-    for seg in expanded:
-        s_off, e_off = char_range(seg.start, seg.end)
-        if e_off <= s_off:
-            continue
-        meta_base = {"fallback": False,
-                     "scope": seg.scope,
-                     "entities": seg.entities}
-        if e_off - s_off <= max_chunk_size:
-            out.append(AstChunk(code[s_off:e_off], seg.type,
-                                seg.start + 1, seg.end + 1, s_off, e_off,
-                                json.dumps(meta_base, sort_keys=True)))
-            continue
-        # greedy line-boundary split; hard char split for monster lines
-        import bisect
-
-        breaks = sorted({min(line_start[i + 1], e_off)
-                         for i in range(seg.start, seg.end + 1)})
-        pos = s_off
-        part = 0
-        while pos < e_off:
-            cap = pos + max_chunk_size
-            cands = [b for b in breaks if pos < b <= cap]
-            nxt = cands[-1] if cands else min(cap, e_off)
-            sl = max(seg.start, bisect.bisect_right(line_start, pos) - 1)
-            el = min(seg.end, max(sl, bisect.bisect_right(line_start, nxt - 1) - 1))
-            meta = dict(meta_base)
-            meta["part"] = part
-            out.append(AstChunk(code[pos:nxt], seg.type,
-                                sl + 1, el + 1, pos, nxt,
-                                json.dumps(meta, sort_keys=True)))
-            part += 1
-            pos = nxt
-    return out
+    return emit_chunks(expanded, code, line_start, max_chunk_size)

@@ -79,11 +79,12 @@ def make_chunker(config: IndexConfig):
 
 
 def _make_ast_chunker(config: IndexConfig):
-    """Semantic AST chunking for ``lang == "python"`` docs via the
-    stdlib-``ast`` chunker (``chunkCodeByAST``,
-    ``ast-chunking.ts:183-225``); everything else — and any file the
-    parser rejects — takes the reference's character-window fallback
-    (``createFallbackChunks``, ``ast-chunking.ts:59-68``: type
+    """Semantic AST chunking: stdlib-``ast`` for Python and the
+    deterministic brace lexer for TypeScript/JavaScript/Go/Java/Rust —
+    the reference's six tree-sitter languages (``chunkCodeByAST``,
+    ``ast-chunking.ts:47-54,183-225``); everything else — and any file
+    the Python parser rejects — takes the reference's character-window
+    fallback (``createFallbackChunks``, ``ast-chunking.ts:59-68``: type
     ``text``, lines 0, ``metadata.fallback = true``).  Emits the extra
     ``chunk_meta`` column (canonical-JSON scope/entities per chunk,
     ``ast-chunking.ts:76-88``); the partition writer selects its own
@@ -91,6 +92,7 @@ def _make_ast_chunker(config: IndexConfig):
     import json
 
     from coderag_ray.functions.ast_chunker import chunk_python_ast
+    from coderag_ray.functions.brace_chunker import chunk_braces_ast
     from coderag_ray.functions.chunker import batch_chunk_offsets
 
     size, overlap = config.max_chunk_size, config.chunk_overlap
@@ -116,8 +118,11 @@ def _make_ast_chunker(config: IndexConfig):
         for di, (lang, c) in enumerate(zip(langs, contents)):
             # case-insensitive: corpus tables say "python", the filesystem
             # source's LANGUAGE_REGISTRY says "Python"
-            is_py = isinstance(lang, str) and lang.lower() == "python"
-            chunks = chunk_python_ast(c, size) if is_py else None
+            low = lang.lower() if isinstance(lang, str) else ""
+            if low == "python":
+                chunks = chunk_python_ast(c, size)
+            else:
+                chunks = chunk_braces_ast(c, low, size)
             if chunks is not None:
                 for ci, ch in enumerate(chunks):
                     emit(di, ci, ch.type, ch.start_line, ch.end_line,
