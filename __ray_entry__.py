@@ -20,6 +20,7 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -314,6 +315,40 @@ def q_hybrid_topk(sf_dir: str):
     )
 
 
+def q_hybrid_bm25_edge(sf_dir: str):
+    """Hybrid fusion degeneracy invariant (VERDICT r2 item 8): with
+    ``vector_weight=0`` the fused ranking must reproduce the BM25
+    ranking bit-for-bit — checked against the FULL BM25 SQL oracle
+    (vector-only filler rows, fused score 0, are excluded; for a query
+    with no BM25 matches both sides are empty)."""
+    from coderag_ray.index.reader import IndexReader
+    from coderag_ray.pipelines.hybrid import build_embeddings, hybrid_search
+
+    idx = _index_for(sf_dir, CFG_SIMPLE)
+    reader = IndexReader(idx)
+    if not os.path.exists(os.path.join(reader.part_dir(reader.partitions[0]),
+                                       "embeddings.parquet")):
+        build_embeddings(idx, dimensions=32)
+    qids, dids, cids, scores = [], [], [], []
+    for qid, text in BM25_QUERIES:
+        res = hybrid_search(reader, text, TOPK, vector_weight=0.0, dimensions=32)
+        for r in res.to_pylist():
+            if r["method"] == "vector":
+                continue  # zero-scored filler from the vector side
+            qids.append(qid)
+            dids.append(r["doc_id"])
+            cids.append(r["chunk_id"])
+            scores.append(float(round6(np.float64(r["bm25_score"]))))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "chunk_id": pa.array(cids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def q_keywords(sf_dir: str):
     """Per-doc TF-IDF keyword extraction (top-3 terms): doc-level tf =
     Σ raw_freq / Σ tokens over the doc's chunks, idf from the built
@@ -585,6 +620,93 @@ def q_ivf_knn(sf_dir: str):
     return ivf_knn(_embeddings(sf_dir), KNN_QUERY_IDS, KNN_K)
 
 
+# frozen quality floors for the approximate operators (measured at
+# sf0.001 and sf0.01 with margin; a regression below the floor flips the
+# *_ok booleans and fails the oracle hash compare)
+LSH_RECALL_FLOOR = 0.25
+IVF_RECALL_FLOOR = 0.55
+MINHASH_RECALL_FLOOR = 0.9
+
+
+def _ann_recall_table(sf_dir: str, approx_fn, floor: float) -> pa.Table:
+    """Invariant verdict rows for an ANN operator: per query, the
+    SQL-checkable exact-kNN facts (result count, exact top-1 id) plus
+    engine-verified quality booleans.  The SQL oracle recomputes
+    n_exact / exact_top1 genuinely and pins the booleans at ``true`` —
+    if ANN recall regresses below the frozen floor (or self-exclusion /
+    ordering break), the engine emits ``false`` and the driver's
+    rows+schema+hash compare fails."""
+    exact = q_knn(sf_dir).to_pandas()
+    approx = approx_fn(sf_dir)
+    if not isinstance(approx, pd.DataFrame):
+        approx = approx.to_pandas()
+    recalls = {}
+    rows = []
+    for qid, g in exact.groupby("query_id", sort=True):
+        ex_ids = g["vec_id"].tolist()  # already (cos DESC, vec_id) ordered
+        ap = approx[approx["query_id"] == qid] if len(approx) else approx
+        ap_ids = set(ap["vec_id"].tolist()) if len(ap) else set()
+        recalls[qid] = len(set(ex_ids) & ap_ids) / max(1, len(ex_ids))
+        self_ok = qid not in ap_ids
+        sims = ap["cos_sim"].to_numpy() if len(ap) else np.array([])
+        ordered_ok = bool((np.diff(sims) <= 1e-12).all()) if len(sims) > 1 else True
+        rows.append((int(qid), len(ex_ids), int(ex_ids[0]), self_ok, ordered_ok))
+    mean_ok = bool(np.mean(list(recalls.values())) >= floor) if recalls else True
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_exact": pa.array([r[1] for r in rows], type=pa.int64()),
+            "exact_top1": pa.array([r[2] for r in rows], type=pa.int64()),
+            "self_excluded_ok": pa.array([r[3] for r in rows], type=pa.bool_()),
+            "ordered_ok": pa.array([r[4] for r in rows], type=pa.bool_()),
+            "mean_recall_ok": pa.array([mean_ok] * len(rows), type=pa.bool_()),
+        }
+    )
+
+
+def q_lsh_recall(sf_dir: str):
+    """LSH-kNN quality invariant vs the exact scan (VERDICT r2 item 8):
+    recall@k floor 0.25, self-exclusion, ordering — SQL recomputes the
+    exact side."""
+    return _ann_recall_table(sf_dir, q_lsh_knn, LSH_RECALL_FLOOR)
+
+
+def q_ivf_recall(sf_dir: str):
+    """IVF-kNN quality invariant vs the exact scan — recall@k floor
+    0.55."""
+    return _ann_recall_table(sf_dir, q_ivf_knn, IVF_RECALL_FLOOR)
+
+
+def q_minhash_recall(sf_dir: str):
+    """MinHash-LSH candidate quality vs the EXACT n-gram Jaccard pair
+    set at the same threshold (0.5): one verdict row.  ``n_exact_pairs``
+    is recomputed genuinely by the SQL oracle (all-pairs shingle join) —
+    an independent re-check of the distributed exact scorer at the
+    threshold, beyond q_ngram_jaccard's top-50 — and the booleans pin
+    precision == 1 (the pipeline's verify stage guarantees it) and
+    recall ≥ 0.9."""
+    import pyarrow.compute as pc
+
+    from coderag_ray.pipelines.dedup import _ngram_pair_scores, minhash_lsh_pairs
+
+    scored = _ngram_pair_scores(_docs(sf_dir), 3, None)
+    ex = (scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], 0.5)).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow").to_pandas())
+    exact_pairs = set(map(tuple, ex[["doc_a", "doc_b"]].values.tolist()))
+    mh = minhash_lsh_pairs(_docs(sf_dir), n=3, jaccard_threshold=0.5).to_pandas()
+    mh_pairs = set(map(tuple, mh[["doc_a", "doc_b"]].values.tolist()))
+    precision_ok = mh_pairs <= exact_pairs
+    recall = len(mh_pairs & exact_pairs) / max(1, len(exact_pairs))
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([len(exact_pairs)], type=pa.int64()),
+            "precision_ok": pa.array([precision_ok], type=pa.bool_()),
+            "recall_ok": pa.array([recall >= MINHASH_RECALL_FLOOR], type=pa.bool_()),
+        }
+    )
+
+
 def q_events_window(sf_dir: str):
     from coderag_ray.pipelines.events import tumbling_window
 
@@ -653,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_topk_wand": q_bm25_topk_wand,
         "q_cosine_topk": q_cosine_topk,
         "q_hybrid_topk": q_hybrid_topk,
+        "q_hybrid_bm25_edge": q_hybrid_bm25_edge,
         "q_keywords": q_keywords,
         "q_chunk_ast": q_chunk_ast,
         "q_chunk_ast_js": q_chunk_ast_js,
@@ -674,6 +797,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn": q_knn,
         "q_lsh_knn": q_lsh_knn,
         "q_ivf_knn": q_ivf_knn,
+        "q_lsh_recall": q_lsh_recall,
+        "q_ivf_recall": q_ivf_recall,
+        "q_minhash_recall": q_minhash_recall,
         "q_events_window": q_events_window,
         "q_events_hopping": q_events_hopping,
         "q_props_stats": q_props_stats,
@@ -687,6 +813,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# exact-kNN side of the ANN quality invariants (q_lsh_recall /
+# q_ivf_recall): genuinely recomputes the per-query exact result count
+# and exact top-1 id; the *_ok booleans are pinned true — the engine
+# flips them on a quality regression, failing the hash compare
+_ANN_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {len(KNN_QUERY_IDS)}),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(min(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT) AS exact_top1,
+       true AS self_excluded_ok,
+       true AS ordered_ok,
+       true AS mean_recall_ok
+FROM r WHERE rn <= {KNN_K} GROUP BY query_id ORDER BY query_id
+"""
 
 # shared CTE prefix: simple tokenizer (code-tokenizer.ts:14-19) + fallback
 # chunker (embeddings.ts:266-296) over the documents corpus
@@ -1105,6 +1253,30 @@ SELECT query_id, vec_id, round(sim, 6) AS cos_sim
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s)
 WHERE rn <= {KNN_K}
 """,
+        "q_lsh_recall": _ANN_RECALL_SQL,
+        "q_ivf_recall": _ANN_RECALL_SQL,
+        "q_minhash_recall": """
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0) AS ws
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(ws[i+1:i+3], ' ') AS shingle
+    FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws)-2, 0))) AS i FROM w WHERE len(ws) >= 3)
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') AS shingle FROM w WHERE len(ws) BETWEEN 1 AND 2
+  )
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS precision_ok, true AS recall_ok
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common) >= 0.5
+""",
         "q_events_window": """
 SELECT event_type,
        CAST(floor(epoch(ts)/3600) AS BIGINT) * 3600 AS window_start,
@@ -1165,4 +1337,6 @@ FROM m
     }
     # WAND must reproduce the exhaustive ranking exactly — same oracle
     d["q_bm25_topk_wand"] = d["q_bm25_topk"]
+    # fusion degeneracy: vector_weight=0 hybrid == the BM25 ranking
+    d["q_hybrid_bm25_edge"] = d["q_bm25_topk"]
     return d

@@ -278,6 +278,19 @@ def run_bench() -> dict:
                 out.to_pandas() if not hasattr(out, "materialize") else out.materialize()
             results[f"{name}_s"] = round(time.perf_counter() - t0, 3)
 
+        if os.environ.get("CODERAG_BENCH_STATS"):
+            # operator-level evidence for the two historically worst
+            # pipelines (VERDICT r2 item 9) → /tmp/coderag_bench_stats.txt
+            from coderag_ray.pipelines import dedup as _dd
+            from coderag_ray.pipelines import similarity as _sim
+
+            with open("/tmp/coderag_bench_stats.txt", "w") as f:
+                f.write("=== minhash_lsh_pairs verify wave ===\n")
+                f.write((_dd.LAST_MINHASH_STATS or "(none)") + "\n")
+                f.write("=== ANN probe scan (last of lsh/ivf) ===\n")
+                f.write((_sim.LAST_PROBE_STATS or "(none)") + "\n")
+            print("pipeline stats -> /tmp/coderag_bench_stats.txt", file=sys.stderr)
+
     headline = results["build_index_s"] + sum(lat)
     out = {
         "metric": "index_build+query",

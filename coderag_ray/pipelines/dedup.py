@@ -37,6 +37,10 @@ import pyarrow.compute as pc
 
 WS_SPLIT = r"\s+"
 MINHASH_PERMS = 64
+
+# ds.stats() of the last minhash_lsh_pairs run's verify wave — the
+# per-operator wall/CPU audit; printed by CODERAG_BENCH_STATS=1 bench.py
+LAST_MINHASH_STATS: str | None = None
 MINHASH_BANDS = 16
 _MERS_P = (1 << 61) - 1
 
@@ -319,8 +323,157 @@ def clusters_from_pairs(pairs: pa.Table) -> pa.Table:
     })
 
 
+def _cc_star_rounds(edges_ds, num_buckets: int = 256, max_rounds: int = 64):
+    """Distributed connected components over a canonical (doc_a < doc_b)
+    edge Dataset: the alternating large-star / small-star algorithm from
+    the MapReduce-CC literature (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") — every step is a bucketed groupby over
+    the edge list, so no corpus- or component-sized state ever exists in
+    one place.  Converges (O(log n) rounds in practice) to star graphs
+    whose centers are each component's minimum id; returns the final
+    star-edge Dataset (doc_a = min label, doc_b = member).
+
+    Per round: large-star connects every node's larger neighbors to the
+    min of its neighborhood, small-star re-points the smaller neighbors
+    (plus the node itself); each groupby is hash-bucketed (node-keyed
+    group cardinality grows with the graph) with vectorized
+    ``minimum.reduceat`` segment minima inside.  A (count, hash-sum)
+    fixed-point check on the deduped edge set detects convergence.
+    """
+    from coderag_ray.functions.hashing import splitmix64
+
+    NB = np.uint64(num_buckets)
+
+    def _segments(keys: np.ndarray) -> np.ndarray:
+        return np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+
+    def _star(g: pd.DataFrame, large: bool) -> pa.Table:
+        # rows: (u = group key node, v = neighbor); large-star sees the
+        # full symmetric neighborhood, small-star only smaller neighbors
+        u = g["u"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = _segments(u)
+        ends = np.r_[starts[1:], len(u)]
+        neigh_min = np.minimum.reduceat(v, starts)
+        m = np.minimum(neigh_min, u[starts])  # min(N(u) ∪ {u})
+        reps = ends - starts
+        m_row = np.repeat(m, reps)
+        if large:
+            keep = v > u  # connect larger neighbors to m
+            a, b = m_row[keep], v[keep]
+        else:
+            # connect smaller neighbors ∪ {u} to m (skip m itself)
+            keep = v != m_row
+            a = np.r_[m_row[keep], m]
+            b = np.r_[v[keep], u[starts]]
+            sk = a != b
+            a, b = a[sk], b[sk]
+        e = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(e[:, 0], type=pa.int64()),
+                         "doc_b": pa.array(e[:, 1], type=pa.int64())})
+
+    def _large_star_input(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.r_[a, b]
+        v = np.r_[b, a]
+        bk = (splitmix64(u.astype(np.uint64)) % NB).astype(np.int32)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "__bucket": pa.array(bk)})
+
+    def _small_star_input(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # group by the LARGER endpoint; neighbors are the smaller ends
+        bk = (splitmix64(b.astype(np.uint64)) % NB).astype(np.int32)
+        return pa.table({"u": pa.array(b), "v": pa.array(a),
+                         "__bucket": pa.array(bk)})
+
+    def _dedupe_input(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ splitmix64(b)) % NB)
+        return t.append_column("__bucket", pa.array(bk.astype(np.int32)))
+
+    def _dedupe(g: pd.DataFrame) -> pa.Table:
+        e = np.unique(np.stack([g["doc_a"].to_numpy(dtype=np.int64),
+                                g["doc_b"].to_numpy(dtype=np.int64)], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(e[:, 0], type=pa.int64()),
+                         "doc_b": pa.array(e[:, 1], type=pa.int64())})
+
+    def _fingerprint(ds) -> tuple[int, int]:
+        def h(t: pa.Table) -> pa.Table:
+            a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            hv = splitmix64(a * np.uint64(1000003) + b)
+            return pa.table({"n": pa.array([len(a)], type=pa.int64()),
+                             "s": pa.array([int(hv.sum() & np.uint64(0x7FFFFFFFFFFFFFFF))],
+                                           type=pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        agg = ds.map_batches(h, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        return (int(agg["n"] or 0), int(agg["s"] or 0))
+
+    cur = edges_ds
+    prev_fp = None
+    for _ in range(max_rounds):
+        cur = (cur.map_batches(_large_star_input, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(lambda g: _star(g, True), batch_format="pandas"))
+        cur = (cur.map_batches(_small_star_input, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(lambda g: _star(g, False), batch_format="pandas"))
+        cur = (cur.map_batches(_dedupe_input, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(_dedupe, batch_format="pandas")
+               .materialize())
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    return cur
+
+
+def clusters_from_edges_ds(edges_ds, edge_budget: int = 5_000_000) -> pa.Table:
+    """(doc_id, cluster_id) connected components for a canonical edge
+    Dataset — driver union-find below ``edge_budget`` edges, the
+    distributed star-contraction loop (:func:`_cc_star_rounds`) above
+    it.  Identical output either way: cluster_id = min reachable id."""
+    edges_ds = edges_ds.materialize()  # duplicate-rate-sized, reused twice
+    n_edges = edges_ds.count()
+    if n_edges <= edge_budget:
+        edges = edges_ds.to_pandas()
+        return clusters_from_pairs(pa.table({
+            "doc_a": pa.array(edges["doc_a"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "doc_b": pa.array(edges["doc_b"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }))
+    stars = _cc_star_rounds(edges_ds)
+
+    def to_labels(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # star edges: (root=min label, member); roots label themselves
+        return pa.table({
+            "doc_id": pa.array(np.r_[b, a], type=pa.int64()),
+            "cluster_id": pa.array(np.r_[a, a], type=pa.int64()),
+        })
+
+    out = (stars.map_batches(to_labels, batch_format="pyarrow")
+           .to_pandas().drop_duplicates()
+           .sort_values("doc_id").reset_index(drop=True))  # result-sized
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+        "cluster_id": pa.array(out["cluster_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+    })
+
+
 def near_dup_clusters(docs_ds, threshold: float = 0.5, n: int = 3,
-                      max_shingle_df: int | None = None):
+                      max_shingle_df: int | None = None,
+                      edge_budget: int = 5_000_000):
     """Connected components of the ≥-threshold n-gram-Jaccard pair graph
     — the "keep one per cluster" step after near-dup detection.
 
@@ -330,24 +483,23 @@ def near_dup_clusters(docs_ds, threshold: float = 0.5, n: int = 3,
 
     Scale shape: pair scoring runs distributed
     (:func:`_ngram_pair_scores`) and only EDGES above the threshold
-    reach the driver for the union-find — the near-dup edge set scales
-    with the duplicate rate, not the corpus (and is already capped by
-    ``max_shingle_df``).  At extreme edge counts this becomes the
-    standard iterative label-propagation ``map_batches`` loop; the
-    union-find keeps the exact same output contract.
+    leave it — the near-dup edge set scales with the duplicate rate,
+    not the corpus.  Below ``edge_budget`` edges the components come
+    from a driver union-find; above it the distributed large-star /
+    small-star contraction (:func:`_cc_star_rounds`) runs entirely as
+    bucketed groupbys over the edge Dataset, so no edge- or
+    component-sized state ever reaches the driver.  Same output either
+    way (tests force the low-budget path and assert equality).
     """
     import pyarrow.compute as pc
 
     scored = _ngram_pair_scores(docs_ds, n, max_shingle_df)
-    edges = scored.map_batches(
+    edges_ds = scored.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
                    .select(["doc_a", "doc_b"]),
         batch_format="pyarrow",
-    ).to_pandas()  # edges only — duplicate-rate-sized, not corpus-sized
-    return clusters_from_pairs(pa.table({
-        "doc_a": pa.array(edges["doc_a"].to_numpy(dtype=np.int64), type=pa.int64()),
-        "doc_b": pa.array(edges["doc_b"].to_numpy(dtype=np.int64), type=pa.int64()),
-    }))
+    )
+    return clusters_from_edges_ds(edges_ds, edge_budget)
 
 
 # ---------------------------------------------------------------------------
@@ -673,12 +825,15 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
                          "jaccard": pa.array(np.array(out_j, dtype=np.float64),
                                              type=pa.float64())})
 
-    verified = (
+    verified_ds = (
         sides.map_batches(add_bucket_a, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(verify, batch_format="pandas")
-        .to_pandas()  # final verified pairs only — small by construction
+        .materialize()
     )
+    global LAST_MINHASH_STATS
+    LAST_MINHASH_STATS = verified_ds.stats()  # per-operator audit (bench)
+    verified = verified_ds.to_pandas()  # final verified pairs only — small
     if len(verified) == 0:
         return _empty_pairs()
     verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -71,25 +71,32 @@ def build_vector_ann(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> in
     rebuild can never serve stale buckets from a previous build.
     Returns rows indexed.
     """
+    import json
     import shutil
 
     import ray
 
-    from coderag_ray.pipelines.similarity import _bucket_of, _planes
+    from coderag_ray.pipelines.similarity import _bucket_of, _planes, derive_lsh_planes
 
     reader = IndexReader(index_dir)
     final_ann_dir = os.path.join(index_dir, ANN_DIRNAME)
     ann_dir = os.path.join(index_dir, f"_tmp_{ANN_DIRNAME}_{os.getpid()}")
     shutil.rmtree(ann_dir, ignore_errors=True)
     os.makedirs(ann_dir)
+    # plane count sized to the corpus (fixed 12 planes over a small test
+    # corpus = 4096 near-empty buckets = ~zero recall); persisted so
+    # probes always use the layout's own geometry
+    n_planes = derive_lsh_planes(reader.n_chunks)
+    with open(os.path.join(ann_dir, "_lsh.json"), "w") as f:
+        json.dump({"n_planes": n_planes}, f)
 
     @ray.remote
-    def ann_part(part_dir: str, pid: int, ann_root: str) -> int:
+    def ann_part(part_dir: str, pid: int, ann_root: str, n_planes: int) -> int:
         emb = pq.read_table(os.path.join(part_dir, "embeddings.parquet"))
         docs = pq.read_table(os.path.join(part_dir, "docs.parquet"),
                              columns=["doc_id", "chunk_id"])
         E = _emb_matrix(emb)
-        buckets = _bucket_of(E, _planes(E.shape[1]))  # embeddings are unit vectors
+        buckets = _bucket_of(E, _planes(E.shape[1], n_planes))  # embeddings are unit vectors
         tbl = pa.table(
             {
                 "part_id": pa.array(np.full(len(buckets), pid, dtype=np.int64)),
@@ -127,7 +134,7 @@ def build_vector_ann(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> in
         os.replace(tmp, os.path.join(bdir, "data.parquet"))
         return tbl.num_rows
 
-    futures = [ann_part.remote(reader.part_dir(pid), pid, ann_dir)
+    futures = [ann_part.remote(reader.part_dir(pid), pid, ann_dir, n_planes)
                for pid in reader.partitions]
     n = int(sum(ray.get(futures)))
     bdirs = [os.path.join(ann_dir, d) for d in os.listdir(ann_dir)
@@ -147,13 +154,15 @@ def vector_topk_ann(reader: IndexReader, query: str, k: int,
     verify candidates with exact cosine — same schema as
     :func:`vector_topk`, approximate recall by construction.  Falls back
     to the exact scan when the ANN index hasn't been built."""
-    from coderag_ray.pipelines.similarity import _probe_buckets, probe_paths
+    from coderag_ray.pipelines.similarity import (
+        _probe_buckets, layout_lsh_planes, probe_paths,
+    )
 
     ann_dir = os.path.join(reader.index_dir, ANN_DIRNAME)
     if not os.path.isdir(ann_dir):
         return vector_topk(reader, query, k, dimensions)
     qv = mock_embedding(query, dimensions)
-    probes = _probe_buckets(qv[None, :], multiprobe)[0]
+    probes = _probe_buckets(qv[None, :], multiprobe, layout_lsh_planes(ann_dir))[0]
     paths = probe_paths(ann_dir, probes)
     if not paths:
         return vector_topk(reader, query, k, dimensions)

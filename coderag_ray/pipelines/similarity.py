@@ -20,16 +20,39 @@ import pyarrow as pa
 
 from coderag_ray.functions.rounding import round6
 
-LSH_PLANES = 12
+# ds.stats() of the last ANN probe scan — per-operator wall/CPU audit;
+# printed by CODERAG_BENCH_STATS=1 bench.py
+LAST_PROBE_STATS: str | None = None
+
+LSH_PLANES = 12           # maximum hyperplanes (2^12 buckets)
+LSH_TARGET_BUCKET = 64    # aim for ~this many vectors per bucket
 _rng = np.random.default_rng(777)
-_PLANES_CACHE: dict[int, np.ndarray] = {}
+_PLANES_CACHE: dict[tuple[int, int], np.ndarray] = {}
 
 
-def _planes(dim: int) -> np.ndarray:
-    p = _PLANES_CACHE.get(dim)
+def derive_lsh_planes(n_vectors: int, target_bucket: int = LSH_TARGET_BUCKET,
+                      lo: int = 2, hi: int = LSH_PLANES) -> int:
+    """Hyperplane count sized to the corpus: ~``target_bucket`` vectors
+    per bucket (2^planes ≈ n/target).  A fixed plane count is a recall
+    trap in both directions — 12 planes over a 500-vector test corpus
+    makes 4096 near-empty buckets (neighbors never share one, recall
+    ≈ 0), while 4 planes over 10^9 vectors makes buckets that defeat
+    the pruning.  Clamped to [lo, hi]."""
+    import math
+
+    if n_vectors <= 0:
+        return lo
+    return max(lo, min(hi, round(math.log2(max(1.0, n_vectors / target_bucket)))))
+
+
+def _planes(dim: int, n_planes: int = LSH_PLANES) -> np.ndarray:
+    """First ``n_planes`` rows of the frozen-seed hyperplane matrix —
+    a prefix, so a larger layout's planes extend a smaller one's."""
+    key = (dim, n_planes)
+    p = _PLANES_CACHE.get(key)
     if p is None:
-        p = np.random.default_rng(777).standard_normal((LSH_PLANES, dim))
-        _PLANES_CACHE[dim] = p
+        p = np.random.default_rng(777).standard_normal((LSH_PLANES, dim))[:n_planes]
+        _PLANES_CACHE[key] = p
     return p
 
 
@@ -123,22 +146,33 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
 
 def _bucket_of(En: np.ndarray, P: np.ndarray) -> np.ndarray:
     bits = ((En @ P.T) > 0).astype(np.uint32)
-    return (bits << np.arange(LSH_PLANES, dtype=np.uint32)).sum(axis=1).astype(np.int32)
+    return (bits << np.arange(P.shape[0], dtype=np.uint32)).sum(axis=1).astype(np.int32)
 
 
-def build_lsh_index(emb_ds, index_dir: str) -> None:
+def build_lsh_index(emb_ds, index_dir: str, n_planes: int | None = None) -> int:
     """Write the bucket-partitioned LSH layout: vectors are assigned a
     random-hyperplane bucket in ``map_batches`` and land in one parquet
     partition per bucket (``bucket=NNNN/``).  Probes then read ONLY the
     partitions they need — nothing corpus-sized ever reaches the
     driver, and on a cluster each partition is written/read by workers
     near the data.  ``bucket_id`` is duplicated as a data column because
-    ``partition_cols`` strips the partition key from the files."""
+    ``partition_cols`` strips the partition key from the files.
+
+    ``n_planes=None`` derives the hyperplane count from the corpus size
+    (:func:`derive_lsh_planes`) and persists it in ``_lsh.json`` so
+    probes always use the layout's own geometry.  Returns the plane
+    count used."""
+    import json
+
     import pyarrow.compute as pc
+
+    if n_planes is None:
+        n_planes = derive_lsh_planes(emb_ds.count())
+    np_local = n_planes
 
     def assign(t: pa.Table) -> pa.Table:
         E = emb_matrix(t["embedding"])
-        b = _bucket_of(_normalize(E), _planes(E.shape[1]))
+        b = _bucket_of(_normalize(E), _planes(E.shape[1], np_local))
         return pa.table(
             {
                 "vec_id": pc.cast(t["vec_id"], pa.int64()),
@@ -148,7 +182,23 @@ def build_lsh_index(emb_ds, index_dir: str) -> None:
             }
         )
 
-    _write_bucketed(emb_ds.map_batches(assign, batch_format="pyarrow"), index_dir)
+    _write_bucketed(emb_ds.map_batches(assign, batch_format="pyarrow"), index_dir,
+                    extra_files={"_lsh.json": json.dumps(
+                        {"n_planes": n_planes}).encode()})
+    return n_planes
+
+
+def layout_lsh_planes(index_dir: str) -> int:
+    """Plane count a layout was built with (``_lsh.json``; pre-metadata
+    layouts default to the legacy fixed ``LSH_PLANES``)."""
+    import json
+    import os
+
+    p = os.path.join(index_dir, "_lsh.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f)["n_planes"])
+    return LSH_PLANES
 
 
 def _write_bucketed(ds, index_dir: str, extra_files: dict[str, bytes] | None = None) -> None:
@@ -171,10 +221,11 @@ def _write_bucketed(ds, index_dir: str, extra_files: dict[str, bytes] | None = N
     os.replace(tmp, index_dir)
 
 
-def _probe_buckets(Qn: np.ndarray, multiprobe: int) -> list[set[int]]:
+def _probe_buckets(Qn: np.ndarray, multiprobe: int,
+                   n_planes: int = LSH_PLANES) -> list[set[int]]:
     """Per-query probe set: own bucket + ``multiprobe`` single-bit flips
     of the lowest-|margin| hyperplanes (most likely to hold neighbors)."""
-    P = _planes(Qn.shape[1])
+    P = _planes(Qn.shape[1], n_planes)
     proj = Qn @ P.T
     own = _bucket_of(Qn, P)
     out = []
@@ -216,7 +267,7 @@ def lsh_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
     """
     Qn = _normalize(np.asarray(Q, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    probes = _probe_buckets(Qn, multiprobe)
+    probes = _probe_buckets(Qn, multiprobe, layout_lsh_planes(index_dir))
     paths = probe_paths(index_dir, set().union(*probes) if probes else set())
     return _probe_scan(paths, qids, Qn, probes, k)
 
@@ -266,9 +317,12 @@ def _probe_scan(paths: list[str], qids: np.ndarray, Qn: np.ndarray,
                          "cos_sim": pa.array(out_s, type=pa.float64()),
                          "n_scanned": pa.array(out_n, type=pa.int64())})
 
-    cand = (ray.data.read_parquet(paths)
-            .map_batches(batch_score, batch_format="pyarrow", batch_size=4096)
-            .to_pandas())  # top-k rows + scan-count rows only — tiny
+    cand_ds = (ray.data.read_parquet(paths)
+               .map_batches(batch_score, batch_format="pyarrow", batch_size=4096)
+               .materialize())
+    global LAST_PROBE_STATS
+    LAST_PROBE_STATS = cand_ds.stats()  # per-operator audit (bench)
+    cand = cand_ds.to_pandas()  # top-k rows + scan-count rows only — tiny
     if len(cand) == 0:
         return empty
     scans = cand[cand.vec_id < 0].groupby("query_id")["n_scanned"].sum()

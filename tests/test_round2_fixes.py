@@ -187,16 +187,21 @@ def test_lsh_bucket_layout_probed_not_scanned(ray_session, tmp_path):
         probe_paths,
     )
 
+    from coderag_ray.pipelines.similarity import layout_lsh_planes
+
     emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
     d = str(tmp_path / "lsh")
-    build_lsh_index(emb, d)
+    n_planes = build_lsh_index(emb, d)
     all_parts = [n for n in os.listdir(d) if n.startswith("bucket=")]
-    assert len(all_parts) > 10
+    # plane count derives from corpus size; buckets bounded by 2^planes
+    assert layout_lsh_planes(d) == n_planes
+    assert 2 < len(all_parts) <= 2 ** n_planes
 
     q = emb.to_pandas().head(5).sort_values("vec_id")
     Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
-    probed = probe_paths(d, set().union(*_probe_buckets(_normalize(Q), 2)))
-    assert 0 < len(probed) < len(all_parts)  # pruned, not scanned
+    one_probe = _probe_buckets(_normalize(Q[:1]), 1, n_planes)[0]
+    assert 0 < len(one_probe) < len(all_parts)  # pruned, not scanned
+    assert len(probe_paths(d, one_probe)) > 0
 
     out = lsh_probe(d, q["vec_id"].to_numpy(), Q, k=3).to_pandas()
     # every returned similarity is the exact cosine (verified against

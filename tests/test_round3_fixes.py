@@ -75,6 +75,8 @@ def test_vector_ann_rebuild_clears_stale_buckets(ray_session, tmp_path):
     ann = os.path.join(d, ANN_DIRNAME)
     # compacted: exactly one data file per bucket, no map-side part files
     for b in os.listdir(ann):
+        if not b.startswith("bucket="):
+            continue
         files = os.listdir(os.path.join(ann, b))
         assert files == ["data.parquet"], files
 
@@ -88,7 +90,7 @@ def test_vector_ann_rebuild_clears_stale_buckets(ray_session, tmp_path):
     import pyarrow.parquet as pq
     total = sum(
         pq.read_table(os.path.join(ann, b, "data.parquet")).num_rows
-        for b in os.listdir(ann)
+        for b in os.listdir(ann) if b.startswith("bucket=")
     )
     assert total == n2
     out = vector_topk_ann(IndexReader(d), "database connection", 5, dimensions=16)
@@ -153,6 +155,53 @@ def test_knn_missing_query_id_raises(ray_session, fn):
     ds = _emb_ds()
     with pytest.raises(KeyError, match="9999"):
         getattr(sim, fn)(ds, [1, 9999], k=3)
+
+
+# --------------------------------------------------------------------------
+# distributed connected components path == driver union-find
+# --------------------------------------------------------------------------
+
+def test_distributed_cc_equals_union_find(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import clusters_from_edges_ds, clusters_from_pairs
+
+    rng = np.random.default_rng(42)
+    # random graph with long chains (stresses multi-round convergence)
+    chains = []
+    base = 0
+    for clen in (2, 3, 7, 25, 60):
+        chains += [(base + i, base + i + 1) for i in range(clen - 1)]
+        base += clen + 3  # gaps → ids are not contiguous
+    extra = rng.integers(500, 600, size=(40, 2))
+    edges = chains + [(int(a), int(b)) for a, b in extra if a != b]
+    tbl = pa.table({
+        "doc_a": pa.array([min(a, b) for a, b in edges], type=pa.int64()),
+        "doc_b": pa.array([max(a, b) for a, b in edges], type=pa.int64()),
+    })
+    want = clusters_from_pairs(tbl).to_pandas()
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got = clusters_from_edges_ds(ds, edge_budget=0).to_pandas()  # force distributed
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_near_dup_clusters_distributed_path_matches(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base + " x", base + " y", "completely different content here",
+             "completely different content here too", "unrelated words entirely"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    ds = ray.data.from_arrow(tbl)
+    a = near_dup_clusters(ds, threshold=0.5).to_pandas()
+    b = near_dup_clusters(ds, threshold=0.5, edge_budget=0).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) > 0
 
 
 # --------------------------------------------------------------------------
