@@ -70,6 +70,12 @@ class IndexConfig:
     b: float = BM25_B
     posting_block: int = POSTING_BLOCK
     store_magnitudes: bool = True  # per-chunk TF-IDF magnitudes (cosine mode, A3)
+    # External BPE merge table (JSON {"merges": [[a, b], ...]}) for the
+    # "bpe" tokenizer — the offline stand-in for the reference's 4.7 MB
+    # StarCoder2 vocab download (code-tokenizer.ts:87-118).  None = the
+    # deterministic built-in seed vocabulary.  Participates in to_dict(),
+    # so changing the vocab invalidates the manifest and forces a rebuild.
+    bpe_vocab_path: str | None = None
     # Ray execution knobs
     batch_size: int = 1024  # rows per map_batches batch in the build stages
     extra: dict[str, Any] = field(default_factory=dict)

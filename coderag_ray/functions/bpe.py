@@ -150,6 +150,15 @@ int str float bool list dict tuple set frozenset bytes bytearray
 """
 
 
+@lru_cache(maxsize=8)
+def loaded_tokenizer(vocab_path: str) -> BPETokenizer:
+    """External merge table loaded once per process per path — the
+    query-side counterpart of ``BpeTokenizeStage``'s per-actor load, so
+    searches against an index built with ``bpe_vocab_path`` tokenize the
+    query with the SAME vocabulary."""
+    return BPETokenizer.load(vocab_path)
+
+
 @lru_cache(maxsize=1)
 def default_tokenizer(n_merges: int = DEFAULT_MERGES) -> BPETokenizer:
     """Process-wide tokenizer trained from the frozen seed text —

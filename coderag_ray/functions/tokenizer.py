@@ -85,15 +85,17 @@ def tokenize_code(text: str) -> list[str]:
     return out
 
 
-def tokenize(text: str, tokenizer: str = "code") -> list[str]:
+def tokenize(text: str, tokenizer: str = "code",
+             bpe_vocab_path: str | None = None) -> list[str]:
     if tokenizer == "simple":
         return tokenize_simple(text)
     if tokenizer == "code":
         return tokenize_code(text)
     if tokenizer == "bpe":
-        from coderag_ray.functions.bpe import default_tokenizer
+        from coderag_ray.functions.bpe import default_tokenizer, loaded_tokenizer
 
-        return default_tokenizer().tokenize(text)
+        tok = loaded_tokenizer(bpe_vocab_path) if bpe_vocab_path else default_tokenizer()
+        return tok.tokenize(text)
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 

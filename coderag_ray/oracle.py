@@ -57,7 +57,8 @@ class OracleIndex:
             for ci, chunk in enumerate(
                 chunk_text(content, cfg.max_chunk_size, cfg.chunk_overlap)
             ):
-                tf = Counter(tokenize(chunk, cfg.tokenizer))
+                tf = Counter(tokenize(chunk, cfg.tokenizer,
+                      getattr(cfg, "bpe_vocab_path", None)))
                 idx.chunks.append(
                     OracleChunk(
                         doc_id=int(row["doc_id"]),
@@ -84,7 +85,8 @@ class OracleIndex:
 
     def search(self, query: str, k: int = 10, min_score: float = 0.0):
         """→ list of (doc_id, chunk_id, score, matched_terms)."""
-        tokens = list(dict.fromkeys(tokenize(query, self.config.tokenizer)))  # tfidf.ts:28
+        tokens = list(dict.fromkeys(tokenize(query, self.config.tokenizer,
+                                     getattr(self.config, "bpe_vocab_path", None))))  # tfidf.ts:28
         if not tokens or not self.chunks:
             return []
         avgdl = self.avgdl()
@@ -108,7 +110,8 @@ class OracleIndex:
         """Cosine-similarity ranking — tfidf.ts:160-212 semantics:
         vectors are tfidf = (rawFreq/totalTerms) * idf; cos = dot/( |q||d| ),
         0 when either magnitude is 0; same frozen tie-break."""
-        all_toks = tokenize(query, self.config.tokenizer)
+        all_toks = tokenize(query, self.config.tokenizer,
+                    getattr(self.config, "bpe_vocab_path", None))
         uniq = list(dict.fromkeys(all_toks))
         if not uniq or not self.chunks:
             return []

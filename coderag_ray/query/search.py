@@ -107,7 +107,8 @@ def build_query_vector(
     tf = rawFreq / totalQueryTokens, tfidf = tf * idf (missing idf → 0),
     magnitude over all query terms.  Returns (unique_tokens_in_order,
     q_tfidf, q_magnitude)."""
-    all_toks = tokenize(query, reader.config.tokenizer)
+    all_toks = tokenize(query, reader.config.tokenizer,
+                        getattr(reader.config, "bpe_vocab_path", None))
     uniq = dedupe_query_tokens(all_toks)
     if not uniq:
         return [], {}, 0.0
@@ -290,7 +291,9 @@ def search(
     pruning (not compatible with ``filters``, which need exhaustive
     candidate sets)."""
     reader = index if isinstance(index, IndexReader) else IndexReader(index)
-    tokens = dedupe_query_tokens(tokenize(query, reader.config.tokenizer))
+    tokens = dedupe_query_tokens(tokenize(
+        query, reader.config.tokenizer,
+        getattr(reader.config, "bpe_vocab_path", None)))
     if not tokens or reader.n_chunks == 0:
         return _empty_result()
     if len(tokens) > 63:

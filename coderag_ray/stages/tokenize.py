@@ -69,6 +69,7 @@ class BpeTokenizeStage:
     def __init__(self, config: IndexConfig, vocab_path: str | None = None):
         from coderag_ray.functions.bpe import BPETokenizer, default_tokenizer
 
+        vocab_path = vocab_path or config.bpe_vocab_path
         self.tok = (BPETokenizer.load(vocab_path) if vocab_path
                     else default_tokenizer())
 

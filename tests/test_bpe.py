@@ -49,6 +49,52 @@ def test_vocab_save_load_roundtrip(tmp_path):
         "authenticate user database")
 
 
+def test_external_vocab_path_config(ray_session, tmp_path):
+    """An index built with ``bpe_vocab_path`` (the external-model-vocab
+    hook, code-tokenizer.ts:87-118) loads the merge table from disk in
+    every tokenizer actor; pointing it at a copy of the built-in vocab
+    reproduces the default build exactly."""
+    import ray.data
+
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.corpus import make_corpus
+    from coderag_ray.index.build import build_index
+    from coderag_ray.query.search import search
+
+    vocab = str(tmp_path / "vocab.json")
+    default_tokenizer().save(vocab)
+    corpus = make_corpus(n_docs=60, seed=7)
+    d_def = str(tmp_path / "def")
+    d_ext = str(tmp_path / "ext")
+    build_index(ray.data.from_arrow(corpus), d_def,
+                IndexConfig(tokenizer="bpe", num_partitions=3))
+    build_index(ray.data.from_arrow(corpus), d_ext,
+                IndexConfig(tokenizer="bpe", num_partitions=3,
+                            bpe_vocab_path=vocab))
+    sem = ["rank", "doc_id", "chunk_id", "score"]
+    for q in ["validate credentials", "database connection"]:
+        a = search(d_def, q, 10, with_doc_columns=False).select(sem)
+        b = search(d_ext, q, 10, with_doc_columns=False).select(sem)
+        assert a.equals(b), q
+
+    # a genuinely DIFFERENT vocab flows through build AND query side
+    # (both must use the index's own merge table) — rank parity vs the
+    # Python oracle holds under the custom vocabulary
+    from coderag_ray.functions.bpe import BPETokenizer, train_bpe
+    from coderag_ray.oracle import OracleIndex
+
+    small = str(tmp_path / "small_vocab.json")
+    BPETokenizer(train_bpe(["function return value database connect"], 16)).save(small)
+    cfg_small = IndexConfig(tokenizer="bpe", num_partitions=3, bpe_vocab_path=small)
+    d_small = str(tmp_path / "small")
+    build_index(ray.data.from_arrow(corpus), d_small, cfg_small)
+    oracle = OracleIndex.from_rows(corpus.to_pylist(), cfg_small)
+    got = search(d_small, "database connection", 10, with_doc_columns=False)
+    want = oracle.search("database connection", 10)
+    assert got["doc_id"].to_pylist() == [r[0] for r in want]
+    assert got["chunk_id"].to_pylist() == [r[1] for r in want]
+
+
 @pytest.fixture(scope="module")
 def built_bpe(ray_session, tmp_path_factory):
     import ray.data
