@@ -353,17 +353,20 @@ def _search_compact(compact, reader, tokens, idf_map, k, min_score,
     """One numpy pass per query term over the merged resident index —
     bitwise-identical to the per-partition path (see CompactIndex)."""
     scores = np.zeros(compact.n_chunks, dtype=np.float64)
-    matched = np.zeros(compact.n_chunks, dtype=np.int64)
-    for qi, tok in enumerate(tokens):
+    term_ords: list[np.ndarray | None] = []
+    for tok in tokens:
         rec = compact.postings.get(tok)
+        term_ords.append(rec[0] if rec is not None else None)
         if rec is None:
             continue
         ords, impacts = rec  # impacts precomputed at preload (same floats)
         scores[ords] += impacts
-        matched[ords] |= 1 << qi
-    cand = np.flatnonzero(matched)
-    keep = scores[cand] >= min_score
-    cand = cand[keep]
+    # BM25 impacts are strictly positive, so score > 0 ⟺ ≥1 term matched
+    # — one scatter pass instead of two (the per-chunk matched bitmask
+    # scatter was ~half the hot-query cost at 930k chunks); per-winner
+    # matched_terms are recovered below by binary search over the ≤k
+    # selected ordinals in each term's ordinal-sorted posting list.
+    cand = np.flatnonzero(scores > 0.0 if min_score <= 0.0 else scores >= min_score)
     if len(cand) == 0:
         return _empty_result()
     sc = scores[cand]
@@ -376,9 +379,18 @@ def _search_compact(compact, reader, tokens, idf_map, k, min_score,
     order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand], -sc))[:k]
     sel = cand[order]
     pids, local = compact.locate(sel)
-    matched_terms = [
-        [tokens[qi] for qi in range(len(tokens)) if m & (1 << qi)] for m in matched[sel]
-    ]
+
+    def _terms_of(o: int) -> list[str]:
+        out = []
+        for qi, ords in enumerate(term_ords):
+            if ords is None or not len(ords):
+                continue
+            j = int(np.searchsorted(ords, o))
+            if j < len(ords) and ords[j] == o:
+                out.append(tokens[qi])
+        return out
+
+    matched_terms = [_terms_of(int(o)) for o in sel]
     result = pa.table(
         {
             "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int32)),
