@@ -501,6 +501,44 @@ def q_chunk_ast_js(sf_dir: str):
     return _docs(sf_dir).map_batches(per_doc, batch_format="pyarrow")
 
 
+def q_chunk_ast_go(sf_dir: str):
+    """Go-family brace chunking over a deterministic Go rendering (one
+    func per word, capped at 50) — same oracle pattern as
+    ``q_chunk_ast_js``; exercises the Go pattern set (func/type) rather
+    than the JS one."""
+    import hashlib as _hl
+
+    from coderag_ray.functions.brace_chunker import chunk_braces_ast
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        ids, n_chunks, n_funcs, n_chars, shas = [], [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = [w for w in text.split() if w][:50]
+            src = "\n".join(f"func f{i}() int {{\n  return {len(w)}\n}}"
+                            for i, w in enumerate(words))
+            if words:
+                src += "\n"
+            chunks = chunk_braces_ast(src, "go", 1000)
+            assert chunks is not None
+            assert "".join(c.content for c in chunks) == src
+            ids.append(did)
+            n_chunks.append(len(chunks))
+            n_funcs.append(sum(1 for c in chunks if c.type == "function"))
+            n_chars.append(len(src))
+            shas.append(_hl.sha256(src.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_chunks": pa.array(n_chunks, type=pa.int64()),
+                "n_functions": pa.array(n_funcs, type=pa.int64()),
+                "n_src_chars": pa.array(n_chars, type=pa.int64()),
+                "src_sha256": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+
+
 def q_text_stats(sf_dir: str):
     from coderag_ray.pipelines.text_analysis import text_stats_batch
 
@@ -707,6 +745,45 @@ def q_minhash_recall(sf_dir: str):
     )
 
 
+def q_simhash_dup(sf_dir: str):
+    """SimHash consistency invariant: exact-duplicate documents (equal
+    content sha) MUST have identical 64-bit SimHash values.  The SQL
+    oracle genuinely recomputes the duplicate-pair count from a content
+    self-join; ``all_equal_ok`` is engine-evaluated and pinned true."""
+    import zlib
+
+    from coderag_ray.functions.hashing import batch_sha256
+    from coderag_ray.pipelines.dedup import simhash_batch
+
+    def project(t: pa.Table) -> pa.Table:
+        out = simhash_batch(t)
+        shas = batch_sha256(t["text"])
+        b = np.array([zlib.crc32(x.encode()) & 0x3F for x in shas.to_pylist()],
+                     dtype=np.int32)
+        return (out.append_column("content_sha256", shas)
+                   .append_column("__bucket", pa.array(b)))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # sha-bucketed partial: pair count + equality verdict per bucket
+        gg = g.groupby("content_sha256")
+        sizes = gg.size()
+        return pa.table({
+            "n_dup_pairs": pa.array([int((sizes * (sizes - 1) // 2).sum())],
+                                    type=pa.int64()),
+            "n_unequal": pa.array([int((gg["simhash"].nunique() != 1).sum())],
+                                  type=pa.int64()),
+        })
+
+    parts = (_docs(sf_dir).map_batches(project, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())  # ≤64 summary rows
+    return pa.table({
+        "n_dup_pairs": pa.array([int(parts["n_dup_pairs"].sum())], type=pa.int64()),
+        "all_equal_ok": pa.array([bool(parts["n_unequal"].sum() == 0)], type=pa.bool_()),
+    })
+
+
 def q_events_window(sf_dir: str):
     from coderag_ray.pipelines.events import tumbling_window
 
@@ -779,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_keywords": q_keywords,
         "q_chunk_ast": q_chunk_ast,
         "q_chunk_ast_js": q_chunk_ast_js,
+        "q_chunk_ast_go": q_chunk_ast_go,
         "q_text_stats": q_text_stats,
         "q_quality": q_quality,
         "q_langid": q_langid,
@@ -800,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lsh_recall": q_lsh_recall,
         "q_ivf_recall": q_ivf_recall,
         "q_minhash_recall": q_minhash_recall,
+        "q_simhash_dup": q_simhash_dup,
         "q_events_window": q_events_window,
         "q_events_hopping": q_events_hopping,
         "q_props_stats": q_props_stats,
@@ -1015,6 +1094,28 @@ ex AS (
 agg AS (
   SELECT doc_id,
          string_agg('function f' || i || '() {' || chr(10) || '  return ' || length(wd) || ';' || chr(10) || '}',
+                    chr(10) ORDER BY i) AS txt,
+         count(*) AS n
+  FROM ex GROUP BY doc_id),
+src AS (
+  SELECT w.doc_id,
+         COALESCE(agg.txt || chr(10), '') AS src,
+         CAST(COALESCE(agg.n, 0) AS BIGINT) AS nf
+  FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id)
+SELECT doc_id, nf AS n_chunks, nf AS n_functions,
+       CAST(length(src) AS BIGINT) AS n_src_chars, sha256(src) AS src_sha256
+FROM src
+""",
+        "q_chunk_ast_go": """
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS ws
+  FROM documents),
+ex AS (
+  SELECT doc_id, i, ws[CAST(i+1 AS BIGINT)] AS wd
+  FROM (SELECT doc_id, ws, unnest(range(0, least(len(ws), 50))) AS i FROM w)),
+agg AS (
+  SELECT doc_id,
+         string_agg('func f' || i || '() int {' || chr(10) || '  return ' || length(wd) || chr(10) || '}',
                     chr(10) ORDER BY i) AS txt,
          count(*) AS n
   FROM ex GROUP BY doc_id),
@@ -1255,6 +1356,13 @@ WHERE rn <= {KNN_K}
 """,
         "q_lsh_recall": _ANN_RECALL_SQL,
         "q_ivf_recall": _ANN_RECALL_SQL,
+        "q_simhash_dup": """
+WITH s AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+g AS (SELECT sha, count(*) AS n FROM s GROUP BY sha)
+SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_dup_pairs,
+       true AS all_equal_ok
+FROM g
+""",
         "q_minhash_recall": """
 WITH w AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0) AS ws

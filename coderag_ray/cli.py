@@ -20,10 +20,15 @@ import sys
 
 
 def _ray_init():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # honor the cluster address a `ray job submit` runtime injects
+        # (RAY_ADDRESS=auto on a cluster); standalone runs stay local
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

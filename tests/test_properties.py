@@ -99,3 +99,41 @@ def test_ast_chunker_partitions_any_valid_python(src, max_chunk):
         assert 1 <= c.start_line <= c.end_line
         assert len(c.content) <= max_chunk
     assert pos == len(src)
+
+
+# ---------------------------------------------------------------------------
+# brace chunker: exact-partition property over arbitrary inputs
+# ---------------------------------------------------------------------------
+
+_code_alphabet = st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd", "Po", "Ps", "Pe", "Zs"),
+    whitelist_characters="{}()\"'`/\\\n\t$#@[];=>*&!%-+,.<>_",
+    max_codepoint=0x2FF,
+)
+
+
+@given(st.text(alphabet=_code_alphabet, max_size=600),
+       st.sampled_from(["javascript", "typescript", "go", "java", "rust"]),
+       st.integers(40, 1200))
+@settings(max_examples=120, deadline=None)
+def test_brace_chunker_exact_partition_any_input(text, lang, max_size):
+    """For ANY input — balanced or garbage, quotes/comments cut mid-way —
+    the brace chunker's output concatenates back to the input
+    byte-for-byte with contiguous offsets (the sha-verified reassembly
+    contract), and no chunk exceeds the cap except single monster lines
+    handled by the char splitter (which also caps them)."""
+    from coderag_ray.functions.brace_chunker import chunk_braces_ast
+
+    chunks = chunk_braces_ast(text, lang, max_size)
+    assert chunks is not None
+    if text.strip() == "":
+        assert chunks == []
+        return
+    assert "".join(c.content for c in chunks) == text
+    offs = [(c.start_offset, c.end_offset) for c in chunks]
+    assert offs[0][0] == 0 and offs[-1][1] == len(text)
+    for (_, b), (c2, _) in zip(offs, offs[1:]):
+        assert b == c2
+    for c in chunks:
+        assert len(c.content) <= max_size
+        assert 1 <= c.start_line <= c.end_line

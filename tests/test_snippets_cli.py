@@ -1,6 +1,7 @@
 """Snippet extraction (M13/M14/M16) and CLI (S10) tests."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -103,3 +104,33 @@ def test_cli_build_search_status(tmp_path):
     assert r.returncode == 0
     st = json.loads(r.stdout)
     assert st["partitions_complete"] == 3
+
+
+def test_job_submit_entrypoint(tmp_path):
+    """scripts/submit_build.py — the `ray job submit` entrypoint — runs
+    standalone (RAY_ADDRESS=local) and re-submits resumably: the second
+    identical submission is a tier-1 no-op (zero dirty partitions)."""
+    import pyarrow.parquet as pq
+
+    from coderag_ray.corpus import make_corpus
+
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(make_corpus(60, seed=4), str(docs))
+    idx = tmp_path / "idx"
+
+    def submit():
+        r = subprocess.run(
+            [sys.executable, "scripts/submit_build.py", str(docs), str(idx),
+             "--partitions", "3"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            env={**os.environ, "PYTHONPATH": "/root/repo"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    rep = submit()
+    assert rep["n_docs"] > 0 and rep["dirty_partitions"] == 3
+    rep2 = submit()  # resumable re-submission: nothing recomputed
+    assert rep2["dirty_partitions"] == 0
+    assert rep2["fingerprint_mode"] == "file"
+    assert rep2["n_chunks"] == rep["n_chunks"]
