@@ -215,9 +215,27 @@ def wand_topk(
                     else:
                         heapq.heappush(heap, (score, -pivot_doc))
                     results[pivot_doc] = (score, mask)
-            for qi, c in live:
-                if c.doc == pivot_doc:
-                    c.advance()
+                for qi, c in live:
+                    if c.doc == pivot_doc:
+                        c.advance()
+            else:
+                # BMW "shallow move" (Ding & Suel 2011): every candidate
+                # cursor sits AT pivot_doc (live is doc-sorted and
+                # live[0] ties the pivot), and each one's bound holds for
+                # its whole current block — so every doc up to the
+                # shortest such block's end is bounded by bub ≤ threshold
+                # and cannot enter the top-k.  Jump there wholesale
+                # (bounded by the next distinct live doc, whose cursor's
+                # block we have NOT bounded) instead of advancing one
+                # posting at a time.
+                jump = min(int(c.block_last[c.cur_block]) + 1
+                           for qi, c in live if c.doc == pivot_doc)
+                nxt = next((c.doc for qi, c in live if c.doc != pivot_doc),
+                           _SENTINEL)
+                target = min(jump, nxt)
+                for qi, c in live:
+                    if c.doc == pivot_doc:
+                        c.seek(target)
         else:
             # skip every cursor before the pivot up to the pivot doc
             for qi, c in live[:pivot]:

@@ -54,7 +54,10 @@ def test_bpe_encode_word_reassembles(words):
         assert tok.encode_word(w) == tok.encode_word(w)
 
 
-_py_word = st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=12)
+import keyword
+
+_py_word = st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=12).filter(
+    lambda w: not keyword.iskeyword(w))  # `if`, `in`, ... are reachable
 
 
 @st.composite
