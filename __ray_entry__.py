@@ -233,9 +233,11 @@ def q_bm25_topk(sf_dir: str):
 
 
 def q_bm25_topk_code(sf_dir: str):
-    """Code-aware tokenizer ranking — validated against the Python oracle
-    in pytest (camelCase splits are not ANSI-SQL-expressible): rows-only
-    check here."""
+    """Code-aware tokenizer ranking — FULL SQL oracle (round 3): the
+    camelCase/acronym/digit boundary splits are RE2-expressible as
+    chained ``regexp_replace`` calls, so DuckDB recomputes the exact
+    code-token posting lists and BM25 ranking (see ``_CORE_CODE``);
+    also rank-parity-tested against the Python oracle in pytest."""
     return _bm25_topk(sf_dir, CFG_CODE)
 
 
@@ -951,6 +953,62 @@ WITH d AS (
 )
 """
 
+
+# _CORE with the CODE tokenizer: identifiers split at camelCase /
+# acronym / letter-digit boundaries via chained RE2 replaces (the exact
+# _BOUNDARY_RULES order from functions/tokenizer.py), parts emitted
+# before the whole under the frozen emission rule.  Verified
+# term-frequency-identical to tokenize_code in tests.
+_CORE_CODE = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n, sha256(text) AS doc_sha
+  FROM documents
+  WHERE octet_length(encode(text)) <= 1048576
+), ch AS (
+  SELECT doc_id, doc_sha, chunk_id,
+         chunk_id*900 AS start_offset,
+         least(chunk_id*900+1000, n) AS end_offset,
+         substr(text, CAST(chunk_id*900+1 AS BIGINT), CAST(least(1000, n-chunk_id*900) AS BIGINT)) AS chunk
+  FROM (
+    SELECT doc_id, doc_sha, text, n,
+           unnest(range(0, CASE WHEN n=0 THEN 0
+                         ELSE 1 + greatest(0, CAST(ceil((n-1000)/900.0) AS BIGINT)) END)) AS chunk_id
+    FROM d
+  )
+), idents AS (
+  SELECT doc_id, chunk_id, ident, lower(ident) AS whole,
+         list_filter(regexp_split_to_array(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(ident, '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+              '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+             '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+            '([0-9])([A-Za-z])', '\\1 \\2', 'g'),
+           '[^a-zA-Z0-9]+'), x -> length(x) > 0) AS parts
+  FROM (SELECT doc_id, chunk_id,
+               unnest(regexp_split_to_array(chunk, '[^a-zA-Z0-9_]+')) AS ident FROM ch)
+  WHERE ident != ''
+), tk AS (
+  SELECT doc_id, chunk_id, lower(p) AS term FROM
+    (SELECT doc_id, chunk_id, unnest(parts) AS p FROM idents
+     WHERE len(parts) > 1 OR (len(parts) = 1 AND lower(parts[1]) != whole))
+  WHERE length(p) > 1
+  UNION ALL
+  SELECT doc_id, chunk_id, whole AS term FROM idents WHERE length(whole) > 1
+), post AS (
+  SELECT doc_id, chunk_id, term, count(*) AS raw_freq FROM tk GROUP BY doc_id, chunk_id, term
+), tc AS (
+  SELECT ch.doc_id, ch.chunk_id, COALESCE(x.c, 0) AS token_count
+  FROM ch LEFT JOIN (SELECT doc_id, chunk_id, count(*) AS c FROM tk GROUP BY 1, 2) x
+    ON ch.doc_id = x.doc_id AND ch.chunk_id = x.chunk_id
+), st AS (
+  SELECT count(*) AS n_chunks, CAST(COALESCE(sum(token_count), 0) AS BIGINT) AS total_tokens,
+         CASE WHEN count(*) > 0 THEN CAST(sum(token_count) AS DOUBLE)/count(*) ELSE 1.0 END AS avgdl
+  FROM tc
+)
+"""
+
 _QUERY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
 
 _STOP_SQL = "('the','a','of','and','to','in','is','it')"
@@ -1445,6 +1503,53 @@ FROM m
     }
     # WAND must reproduce the exhaustive ranking exactly — same oracle
     d["q_bm25_topk_wand"] = d["q_bm25_topk"]
+    # code-aware tokenizer ranking: full oracle — the camelCase/acronym/
+    # digit boundary splits ARE RE2-expressible as chained replaces
+    d["q_bm25_topk_code"] = _CORE_CODE + f"""
+, q(query_id, qtext) AS (VALUES {_QUERY_VALUES}),
+qi AS (
+  SELECT query_id, ident, lower(ident) AS whole,
+         list_filter(regexp_split_to_array(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(ident, '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+              '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+             '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+            '([0-9])([A-Za-z])', '\\1 \\2', 'g'),
+           '[^a-zA-Z0-9]+'), x -> length(x) > 0) AS parts
+  FROM (SELECT query_id, unnest(regexp_split_to_array(qtext, '[^a-zA-Z0-9_]+')) AS ident FROM q)
+  WHERE ident != ''
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, lower(p) AS term FROM
+      (SELECT query_id, unnest(parts) AS p FROM qi
+       WHERE len(parts) > 1 OR (len(parts) = 1 AND lower(parts[1]) != whole))
+    WHERE length(p) > 1
+    UNION ALL
+    SELECT query_id, whole AS term FROM qi WHERE length(whole) > 1
+  )
+),
+idf AS (
+  SELECT term, ln((st.n_chunks + 1) / (count(*) + 1.0)) + 1 AS idf
+  FROM post CROSS JOIN st GROUP BY term, st.n_chunks
+),
+sc AS (
+  SELECT qt.query_id, p.doc_id, p.chunk_id,
+         sum(idf.idf * (p.raw_freq * 2.2) /
+             (p.raw_freq + 1.2 * (1 - 0.75 + (0.75 * greatest(tc.token_count, 1)) / st.avgdl))) AS score
+  FROM qt
+  JOIN post p ON p.term = qt.term
+  JOIN idf ON idf.term = qt.term
+  JOIN tc ON tc.doc_id = p.doc_id AND tc.chunk_id = p.chunk_id
+  CROSS JOIN st
+  GROUP BY qt.query_id, p.doc_id, p.chunk_id
+)
+SELECT query_id, doc_id, chunk_id, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id, chunk_id) AS rn FROM sc)
+WHERE rn <= {TOPK} ORDER BY query_id, rn
+"""
     # fusion degeneracy: vector_weight=0 hybrid == the BM25 ranking
     d["q_hybrid_bm25_edge"] = d["q_bm25_topk"]
     return d

@@ -83,3 +83,50 @@ def test_batch_matches_scalar_property(tok, texts):
     for i, text in enumerate(texts):
         assert got[i] == term_frequencies(text, tok)
         assert tc[i] == sum(got[i].values())
+
+
+def test_code_tokenizer_sql_mirror_parity():
+    """The DuckDB RE2 replace-chain mirror of tokenize_code (the
+    q_bm25_topk_code oracle's _CORE_CODE tokenization) produces
+    identical term frequencies on representative corpus text."""
+    from collections import Counter
+
+    import duckdb
+
+    from coderag_ray.corpus import make_corpus
+    from coderag_ray.functions.tokenizer import tokenize_code
+
+    texts = make_corpus(25, seed=13)["content"].to_pylist() + [
+        "getUserById HTTPServer fooBar v2 2x _foo_ a2X X __init__ A1B2C3",
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t.replace(chr(39), chr(39)*2)}')"
+                     for i, t in enumerate(texts))
+    got = {(r[0], r[1]): r[2] for r in con.execute(f"""
+WITH inp AS (SELECT * FROM (VALUES {vals}) t(rid, chunk)),
+ids AS (
+  SELECT rid, ident, lower(ident) AS whole,
+         list_filter(regexp_split_to_array(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(ident, '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+              '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+             '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+            '([0-9])([A-Za-z])', '\\1 \\2', 'g'),
+           '[^a-zA-Z0-9]+'), x -> length(x) > 0) AS parts
+  FROM (SELECT rid, unnest(regexp_split_to_array(chunk, '[^a-zA-Z0-9_]+')) AS ident FROM inp)
+  WHERE ident != ''
+),
+tk AS (
+  SELECT rid, lower(p) AS term FROM
+    (SELECT rid, unnest(parts) AS p FROM ids
+     WHERE len(parts) > 1 OR (len(parts) = 1 AND lower(parts[1]) != whole))
+  WHERE length(p) > 1
+  UNION ALL
+  SELECT rid, whole AS term FROM ids WHERE length(whole) > 1
+)
+SELECT rid, term, count(*) FROM tk GROUP BY 1, 2""").fetchall()}
+    want = {(i, t): f for i, x in enumerate(texts)
+            for t, f in Counter(tokenize_code(x)).items()}
+    assert got == want
