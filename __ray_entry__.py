@@ -190,6 +190,44 @@ def q_idf(sf_dir: str):
     return pa.table({"term": t["term"], "df": t["df"], "idf": pa.array(idf6)})
 
 
+def q_idf_incremental(sf_dir: str):
+    """Incremental-build correctness against the full-corpus SQL oracle
+    (ST6/A7, ``storage-persistent.ts:1013-1062`` semantics): build the
+    index from a SUBSET of the corpus (docs with ``doc_id % 7 != 0``),
+    then incrementally refresh it with the full corpus — only the
+    partitions whose docs changed rebuild (asserted) — and return the
+    resulting global IDF table.  The oracle computes idf over the full
+    documents table directly, so a stale or mis-merged partial would
+    hash-mismatch.  Uses its own throwaway index dir (never the cached
+    one)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from coderag_ray.index.build import build_index
+
+    work = tempfile.mkdtemp(prefix="coderag_incr_")
+    try:
+        full = corpus_from_documents(sf_dir)
+
+        def drop_some(t: pa.Table) -> pa.Table:
+            # subset for the initial build: doc_id % 7 != 0
+            d = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((d % 7) != 0))
+
+        idx = os.path.join(work, "idx")
+        r1 = build_index(full.map_batches(drop_some, batch_format="pyarrow"),
+                         idx, CFG_SIMPLE)
+        r2 = build_index(full, idx, CFG_SIMPLE)  # incremental refresh
+        assert 0 < r2.dirty_partitions, "refresh must rebuild changed partitions"
+        t = pq.read_table(os.path.join(idx, "idf"))
+        idf6 = round6(t["idf"].to_numpy(zero_copy_only=False))
+        return pa.table({"term": t["term"], "df": t["df"], "idf": pa.array(idf6)})
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_corpus_stats(sf_dir: str):
     from coderag_ray.index.manifest import load_meta
 
@@ -847,6 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_postings": q_postings,
         "q_term_df": q_term_df,
         "q_idf": q_idf,
+        "q_idf_incremental": q_idf_incremental,
         "q_corpus_stats": q_corpus_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_topk_code": q_bm25_topk_code,
@@ -1503,6 +1542,8 @@ FROM m
     }
     # WAND must reproduce the exhaustive ranking exactly — same oracle
     d["q_bm25_topk_wand"] = d["q_bm25_topk"]
+    # incremental refresh must converge to the fresh-build global IDF
+    d["q_idf_incremental"] = d["q_idf"]
     # code-aware tokenizer ranking: full oracle — the camelCase/acronym/
     # digit boundary splits ARE RE2-expressible as chained replaces
     d["q_bm25_topk_code"] = _CORE_CODE + f"""
