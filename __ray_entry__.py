@@ -228,6 +228,34 @@ def q_idf_incremental(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_partition_routing(sf_dir: str):
+    """The engine's doc→partition routing, read back from the BUILT
+    index layout (one row per indexed doc: which partition holds it) —
+    the north rule's "partitioning handled explicitly", oracle-checked:
+    the SQL side re-derives ``splitmix64(doc_id) % P`` in HUGEINT
+    32-bit-limb arithmetic (bit-exact mod-2^64 multiply) over the
+    eligible documents.  A routing bug, dropped doc, or double placement
+    hash-mismatches."""
+    import pyarrow.parquet as pq
+
+    from coderag_ray.index.reader import IndexReader
+
+    idx = _index_for(sf_dir, CFG_SIMPLE)
+    reader = IndexReader(idx)
+    ids, pids = [], []
+    for pid in reader.partitions:
+        t = pq.read_table(os.path.join(reader.part_dir(pid), "docs.parquet"),
+                          columns=["doc_id"])
+        u = sorted(set(t["doc_id"].to_pylist()))
+        ids.extend(u)
+        pids.extend([pid] * len(u))
+    order = np.argsort(np.array(ids, dtype=np.int64), kind="stable")
+    return pa.table({
+        "doc_id": pa.array(np.array(ids, dtype=np.int64)[order], type=pa.int64()),
+        "part_id": pa.array(np.array(pids, dtype=np.int64)[order], type=pa.int64()),
+    })
+
+
 def q_corpus_stats(sf_dir: str):
     from coderag_ray.index.manifest import load_meta
 
@@ -886,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_term_df": q_term_df,
         "q_idf": q_idf,
         "q_idf_incremental": q_idf_incremental,
+        "q_partition_routing": q_partition_routing,
         "q_corpus_stats": q_corpus_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_topk_code": q_bm25_topk_code,
@@ -1544,6 +1573,29 @@ FROM m
     d["q_bm25_topk_wand"] = d["q_bm25_topk"]
     # incremental refresh must converge to the fresh-build global IDF
     d["q_idf_incremental"] = d["q_idf"]
+    # doc→partition routing: splitmix64 % P re-derived in HUGEINT SQL
+    d["q_partition_routing"] = f"""
+WITH eligible AS (
+  SELECT doc_id FROM documents
+  WHERE length(text) > 0 AND octet_length(encode(text)) <= 1048576),
+c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64, CAST(4294967296 AS HUGEINT) AS m32,
+             CAST(13787848793156543929 AS HUGEINT) AS c1, CAST(10723151780598845931 AS HUGEINT) AS c2),
+s0 AS (SELECT doc_id, (CAST(doc_id AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT)) % m64 AS z,
+              m64, m32, c1, c2
+       FROM eligible CROSS JOIN c),
+x1 AS (SELECT doc_id, xor(z, z >> 30) AS x, m64, m32, c1, c2 FROM s0),
+s1 AS (SELECT doc_id,
+              ((x % m32) * (c1 % m32)
+               + (((x % m32) * (c1 // m32) + (x // m32) * (c1 % m32)) % m32) * m32) % m64 AS z,
+              m64, m32, c2 FROM x1),
+x2 AS (SELECT doc_id, xor(z, z >> 27) AS x, m64, m32, c2 FROM s1),
+s2 AS (SELECT doc_id,
+              ((x % m32) * (c2 % m32)
+               + (((x % m32) * (c2 // m32) + (x // m32) * (c2 % m32)) % m32) * m32) % m64 AS z,
+              m64 FROM x2)
+SELECT doc_id, CAST(xor(z, z >> 31) % {CFG_SIMPLE.num_partitions} AS BIGINT) AS part_id
+FROM s2 ORDER BY doc_id
+"""
     # code-aware tokenizer ranking: full oracle — the camelCase/acronym/
     # digit boundary splits ARE RE2-expressible as chained replaces
     d["q_bm25_topk_code"] = _CORE_CODE + f"""
