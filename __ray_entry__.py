@@ -256,6 +256,30 @@ def q_partition_routing(sf_dir: str):
     })
 
 
+def q_partition_metrics(sf_dir: str):
+    """Per-partition lineage metrics straight from the manifest
+    checkpoint (north rule: "resumable from per-partition checkpoints
+    with lineage and build metrics") — (part_id, n_docs, n_chunks,
+    n_postings, total_tokens) — against a full SQL recomputation
+    (chunking + tokenization + splitmix64 routing re-derived in
+    DuckDB).  A wrong count in any partition's manifest row
+    hash-mismatches."""
+    from coderag_ray.index.manifest import load_manifest
+
+    idx = _index_for(sf_dir, CFG_SIMPLE)
+    man = load_manifest(idx)
+    rows = [(int(p_), r) for p_, r in man["partitions"].items()
+            if r.get("n_chunks", 0) > 0]
+    rows.sort()
+    return pa.table({
+        "part_id": pa.array([p_ for p_, _ in rows], type=pa.int64()),
+        "n_docs": pa.array([r["n_docs"] for _, r in rows], type=pa.int64()),
+        "n_chunks": pa.array([r["n_chunks"] for _, r in rows], type=pa.int64()),
+        "n_postings": pa.array([r["n_postings"] for _, r in rows], type=pa.int64()),
+        "total_tokens": pa.array([r["total_tokens"] for _, r in rows], type=pa.int64()),
+    })
+
+
 def q_corpus_stats(sf_dir: str):
     from coderag_ray.index.manifest import load_meta
 
@@ -915,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_idf": q_idf,
         "q_idf_incremental": q_idf_incremental,
         "q_partition_routing": q_partition_routing,
+        "q_partition_metrics": q_partition_metrics,
         "q_corpus_stats": q_corpus_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_topk_code": q_bm25_topk_code,
@@ -1573,6 +1598,33 @@ FROM m
     d["q_bm25_topk_wand"] = d["q_bm25_topk"]
     # incremental refresh must converge to the fresh-build global IDF
     d["q_idf_incremental"] = d["q_idf"]
+    # per-partition lineage metrics vs full SQL recomputation
+    d["q_partition_metrics"] = _CORE + "," + f"""
+c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64, CAST(4294967296 AS HUGEINT) AS m32,
+             CAST(13787848793156543929 AS HUGEINT) AS c1, CAST(10723151780598845931 AS HUGEINT) AS c2),
+s0 AS (SELECT doc_id AS rid, (CAST(doc_id AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT)) % m64 AS z,
+              m64, m32, c1, c2
+       FROM (SELECT DISTINCT doc_id FROM ch) CROSS JOIN c),
+x1 AS (SELECT rid, xor(z, z >> 30) AS x, m64, m32, c1, c2 FROM s0),
+s1 AS (SELECT rid,
+              ((x % m32) * (c1 % m32)
+               + (((x % m32) * (c1 // m32) + (x // m32) * (c1 % m32)) % m32) * m32) % m64 AS z,
+              m64, m32, c2 FROM x1),
+x2 AS (SELECT rid, xor(z, z >> 27) AS x, m64, m32, c2 FROM s1),
+s2 AS (SELECT rid,
+              ((x % m32) * (c2 % m32)
+               + (((x % m32) * (c2 // m32) + (x // m32) * (c2 % m32)) % m32) * m32) % m64 AS z,
+              m64 FROM x2),
+r AS (SELECT rid AS doc_id, CAST(xor(z, z >> 31) % {CFG_SIMPLE.num_partitions} AS BIGINT) AS part_id FROM s2),
+chs AS (SELECT r.part_id, count(DISTINCT tc.doc_id) AS n_docs, count(*) AS n_chunks,
+               CAST(COALESCE(sum(tc.token_count), 0) AS BIGINT) AS total_tokens
+        FROM tc JOIN r ON tc.doc_id = r.doc_id GROUP BY 1),
+ps AS (SELECT r.part_id, count(*) AS n_postings
+       FROM post JOIN r ON post.doc_id = r.doc_id GROUP BY 1)
+SELECT chs.part_id, chs.n_docs, chs.n_chunks,
+       CAST(COALESCE(ps.n_postings, 0) AS BIGINT) AS n_postings, chs.total_tokens
+FROM chs LEFT JOIN ps ON chs.part_id = ps.part_id ORDER BY chs.part_id
+"""
     # doc→partition routing: splitmix64 % P re-derived in HUGEINT SQL
     d["q_partition_routing"] = f"""
 WITH eligible AS (
