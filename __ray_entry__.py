@@ -655,6 +655,15 @@ def q_hash_sample(sf_dir: str):
     return hash_sample(_docs(sf_dir), rate=10)
 
 
+def q_split(sf_dir: str):
+    """Deterministic stratified train/val/test split (hash-bucket
+    assignment, stable under corpus growth) — full SQL oracle via the
+    same HUGEINT Knuth-hash arithmetic as q_hash_sample."""
+    from coderag_ray.pipelines.sampling import train_val_test_split
+
+    return train_val_test_split(_docs(sf_dir), val_pct=10, test_pct=10)
+
+
 def q_lang_quota(sf_dir: str):
     from coderag_ray.pipelines.sampling import lang_quota_sample
 
@@ -956,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality": q_quality,
         "q_langid": q_langid,
         "q_hash_sample": q_hash_sample,
+        "q_split": q_split,
         "q_lang_quota": q_lang_quota,
         "q_pattern_stats": q_pattern_stats,
         "q_decontam": q_decontam,
@@ -1338,6 +1348,17 @@ WITH h AS (
          CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket
   FROM documents)
 SELECT doc_id, bucket FROM h WHERE bucket < 10
+""",
+        "q_split": """
+WITH h AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM h
 """,
         "q_lang_quota": """
 WITH w AS (

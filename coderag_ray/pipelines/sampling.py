@@ -45,6 +45,31 @@ def hash_sample(docs_ds, rate: int = 10):
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def train_val_test_split(docs_ds, val_pct: int = 10, test_pct: int = 10):
+    """Deterministic stratified corpus split by the Knuth hash bucket:
+    bucket < test_pct → ``test``, < test_pct+val_pct → ``val``, else
+    ``train``.  Same hash as :func:`hash_sample`, so the split is stable
+    across runs, engines and corpus growth (a doc never migrates between
+    splits when new docs arrive) — the ablation/holdout split a training
+    pipeline needs.  → Dataset (doc_id, bucket, split); pure per-batch
+    arithmetic, no shuffle.
+    """
+
+    def assign(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = (d.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(1 << 32)
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < test_pct, "test",
+                         np.where(bucket < test_pct + val_pct, "val", "train"))
+        return pa.table({
+            "doc_id": pa.array(d, type=pa.int64()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "split": pa.array(split.tolist(), type=pa.string()),
+        })
+
+    return docs_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def lang_quota_sample(docs_ds, quota: int = 20):
     """Per-language doc cap over the predicted language.
 
