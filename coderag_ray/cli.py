@@ -64,6 +64,34 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """Scan-build a directory, then watch it live (ST7): debounced
+    incremental refreshes on change, Ctrl-C to stop."""
+    ray = _ray_init()
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.sources.watch import DirectoryWatcher
+
+    cfg = IndexConfig(tokenizer=args.tokenizer, num_partitions=args.partitions,
+                      chunker=args.chunker)
+    w = DirectoryWatcher(args.root, args.index_dir, cfg,
+                         debounce_s=args.debounce, poll_interval_s=args.interval)
+    w._refresh()  # initial build, like the reference indexes before watching
+    print(json.dumps({"watching": args.root, "index_dir": args.index_dir,
+                      "debounce_s": args.debounce}), flush=True)
+    try:
+        while True:
+            refreshed = w.poll()
+            if refreshed:
+                print(json.dumps({"refreshed": refreshed}), flush=True)
+            import time as _t
+
+            _t.sleep(args.interval)
+    except KeyboardInterrupt:
+        pass
+    ray.shutdown()
+    return 0
+
+
 def cmd_mcp(args) -> int:
     from coderag_ray.mcp_server import serve
 
@@ -138,6 +166,16 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--chunker", default="chars", choices=["chars", "lines", "ast"])
     sc.add_argument("--no-resume", action="store_true")
     sc.set_defaults(fn=cmd_scan)
+
+    wt = sub.add_parser("watch", help="live incremental indexing of a directory tree")
+    wt.add_argument("root")
+    wt.add_argument("index_dir")
+    wt.add_argument("--tokenizer", default="code", choices=["code", "simple", "bpe"])
+    wt.add_argument("--partitions", type=int, default=16)
+    wt.add_argument("--chunker", default="chars", choices=["chars", "lines", "ast"])
+    wt.add_argument("--debounce", type=float, default=0.5)
+    wt.add_argument("--interval", type=float, default=0.25)
+    wt.set_defaults(fn=cmd_watch)
 
     m = sub.add_parser("mcp", help="serve the MCP stdio protocol over a built index")
     m.add_argument("index_dir")
