@@ -283,13 +283,22 @@ def search(
     parallel: bool = False,
     use_wand: bool = False,
     mode: str = "bm25",
+    candidate_cap: int | None = None,
 ) -> pa.Table:
     """Top-k BM25 search; returns an Arrow table of ranked results.
 
     ``use_wand=True`` routes each partition through block-max WAND
     (:mod:`coderag_ray.query.wand`) — identical results, skip-based
     pruning (not compatible with ``filters``, which need exhaustive
-    candidate sets)."""
+    candidate sets).
+
+    ``candidate_cap`` reproduces the reference's T3 recall
+    approximation (``storage-persistent.ts:738-739``): only the top
+    ``candidate_cap`` chunks by DISTINCT matched-term count (the
+    reference passes ``limit * 2``) are BM25-scored.  OFF by default —
+    the engine is exhaustive; ties break (count DESC, doc_id,
+    chunk_id) where the reference's SQLite ordering is unspecified.
+    Compact-path only (plain bm25, no filters/wand)."""
     reader = index if isinstance(index, IndexReader) else IndexReader(index)
     tokens = dedupe_query_tokens(tokenize(
         query, reader.config.tokenizer,
@@ -307,7 +316,10 @@ def search(
                                    and mode == "bm25") else None
     if compact is not None:
         return _search_compact(compact, reader, tokens, idf_map, k, min_score,
-                               with_doc_columns)
+                               with_doc_columns, candidate_cap)
+    if candidate_cap is not None:
+        raise ValueError("candidate_cap requires the compact bm25 path "
+                         "(no filters/wand/parallel/cosine)")
     if mode == "cosine":
         uniq, q_tfidf, qmag = build_query_vector(query, reader)
         parts = [
@@ -349,7 +361,7 @@ def search(
 
 
 def _search_compact(compact, reader, tokens, idf_map, k, min_score,
-                    with_doc_columns) -> pa.Table:
+                    with_doc_columns, candidate_cap=None) -> pa.Table:
     """One numpy pass per query term over the merged resident index —
     bitwise-identical to the per-partition path (see CompactIndex)."""
     scores = np.zeros(compact.n_chunks, dtype=np.float64)
@@ -369,6 +381,17 @@ def _search_compact(compact, reader, tokens, idf_map, k, min_score,
     cand = np.flatnonzero(scores > 0.0 if min_score <= 0.0 else scores >= min_score)
     if len(cand) == 0:
         return _empty_result()
+    if candidate_cap is not None and len(cand) > candidate_cap:
+        # T3 (opt-in): keep only the top-cap candidates by distinct
+        # matched-term count before ranking — the reference's recall
+        # approximation; the count scatter is paid only on this path
+        counts = np.zeros(compact.n_chunks, dtype=np.int32)
+        for ords in term_ords:
+            if ords is not None:
+                counts[ords] += 1
+        pre = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand],
+                          -counts[cand]))[:candidate_cap]
+        cand = np.sort(cand[pre])
     sc = scores[cand]
     if k > 0 and len(cand) > 4 * k:
         # exact top-k preselection: keep everything >= the k-th largest
