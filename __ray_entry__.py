@@ -643,6 +643,14 @@ def q_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
 
 
+def q_repetition(sf_dir: str):
+    """Duplicate-line repetition stats (boilerplate/log-spam quality
+    signal) — full SQL oracle via line unnest + group."""
+    from coderag_ray.pipelines.text_analysis import repetition_batch
+
+    return _docs(sf_dir).map_batches(repetition_batch, batch_format="pyarrow")
+
+
 def q_langid(sf_dir: str):
     from coderag_ray.pipelines.text_analysis import LangIdStage
 
@@ -662,6 +670,15 @@ def q_split(sf_dir: str):
     from coderag_ray.pipelines.sampling import train_val_test_split
 
     return train_val_test_split(_docs(sf_dir), val_pct=10, test_pct=10)
+
+
+def q_pack(sf_dir: str):
+    """Sequence packing (GPT-style concat-and-chunk): global token
+    offsets via a two-pass distributed prefix sum, bins = 2048-token
+    training sequences — full SQL oracle (window cumsum)."""
+    from coderag_ray.pipelines.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), seq_len=2048)
 
 
 def q_lang_quota(sf_dir: str):
@@ -963,9 +980,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_ast_go": q_chunk_ast_go,
         "q_text_stats": q_text_stats,
         "q_quality": q_quality,
+        "q_repetition": q_repetition,
         "q_langid": q_langid,
         "q_hash_sample": q_hash_sample,
         "q_split": q_split,
+        "q_pack": q_pack,
         "q_lang_quota": q_lang_quota,
         "q_pattern_stats": q_pattern_stats,
         "q_decontam": q_decontam,
@@ -1316,6 +1335,26 @@ SELECT doc_id, n_words, round(swr, 6) AS stopword_ratio, round(ar, 6) AS alpha_r
        round(0.5 * least(n_words/100.0, 1.0) + 0.3 * (1.0 - swr) + 0.2 * ar, 6) AS quality_score
 FROM r
 """,
+        "q_repetition": """
+WITH l AS (
+  SELECT doc_id, line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+  WHERE length(line) > 0),
+per AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(count(*) AS BIGINT) AS n_distinct_lines,
+         CAST(max(c) AS BIGINT) AS top_line_count
+  FROM per GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(agg.n_lines, 0) AS n_lines,
+       COALESCE(agg.n_distinct_lines, 0) AS n_distinct_lines,
+       COALESCE(agg.top_line_count, 0) AS top_line_count,
+       CASE WHEN COALESCE(agg.n_lines, 0) > 0
+            THEN round(CAST(agg.top_line_count AS DOUBLE) / agg.n_lines, 6)
+            ELSE 0.0 END AS rep_ratio
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
         "q_langid": """
 WITH w AS (
   SELECT doc_id, text,
@@ -1359,6 +1398,19 @@ SELECT doc_id, bucket,
             WHEN bucket < 20 THEN 'val'
             ELSE 'train' END AS split
 FROM h
+""",
+        "q_pack": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+  FROM c)
+SELECT doc_id, n_tokens, strt AS "offset",
+       strt // 2048 AS start_bin, (strt + n_tokens - 1) // 2048 AS end_bin
+FROM o WHERE n_tokens > 0 ORDER BY doc_id
 """,
         "q_lang_quota": """
 WITH w AS (

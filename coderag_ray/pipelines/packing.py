@@ -1,0 +1,105 @@
+"""Sequence packing — lay documents end-to-end into fixed-token-length
+training sequences (the GPT-style concat-and-chunk packing step of an
+LLM data pipeline).
+
+Each document's global token offset is the sum of token counts of all
+docs with a smaller ``doc_id`` — an ORDER-INDEPENDENT definition, which
+is what makes the computation distributable without a global sort:
+
+1. one ``map_batches`` pass counts whitespace tokens per doc
+   (vectorized Arrow kernels) and range-buckets ``doc_id``;
+2. per-bucket token totals (≤ ``num_buckets`` rows) come back to the
+   driver for an exclusive prefix scan — the classic two-pass
+   distributed prefix sum;
+3. a bucket-keyed ``map_groups`` sorts each bucket locally (buckets are
+   doc_id RANGES, so local order + bucket base offset = global order)
+   and emits every doc's global offset and the bins it spans.
+
+Docs may span sequence boundaries (concatenation semantics — exact
+bin membership is ``offset // seq_len`` per token); zero-token docs are
+excluded.  Every step is vectorized; nothing corpus-sized reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WS_SPLIT = r"\s+"
+DEFAULT_SEQ_LEN = 2048
+
+
+def pack_sequences(docs_ds, seq_len: int = DEFAULT_SEQ_LEN,
+                   num_buckets: int = 64):
+    """→ pyarrow Table (doc_id, n_tokens, offset, start_bin, end_bin)
+    sorted by doc_id — where ``offset`` is the doc's first token's
+    global position and bins are ``seq_len``-token training sequences.
+    """
+    from ray.data.aggregate import Sum
+
+    counted = docs_ds.map_batches(
+        lambda t: _count_and_bucket(t, num_buckets),
+        batch_format="pyarrow").materialize()
+
+    # pass 2: per-bucket totals → exclusive prefix scan (≤ num_buckets
+    # rows on the driver — the only driver-side state)
+    totals = counted.groupby("__bucket").aggregate(
+        Sum("n_tokens", alias_name="bucket_tokens")).to_pandas()
+    totals = totals.sort_values("__bucket")
+    base = np.zeros(num_buckets, dtype=np.int64)
+    running = 0
+    for b, tok in zip(totals["__bucket"], totals["bucket_tokens"]):
+        base[int(b)] = running
+        running += int(tok)
+    base_by_bucket = {int(b): int(base[int(b)]) for b in totals["__bucket"]}
+
+    def emit(g) -> pa.Table:
+        b = int(g["__bucket"].iloc[0])
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        nt = g["n_tokens"].to_numpy(dtype=np.int64)
+        order = np.argsort(d, kind="stable")
+        d, nt = d[order], nt[order]
+        # bucket-local exclusive cumsum + the bucket's global base
+        off = base_by_bucket.get(b, 0) + np.r_[0, np.cumsum(nt)[:-1]]
+        keep = nt > 0
+        d, nt, off = d[keep], nt[keep], off[keep]
+        return pa.table({
+            "doc_id": pa.array(d, type=pa.int64()),
+            "n_tokens": pa.array(nt, type=pa.int64()),
+            "offset": pa.array(off, type=pa.int64()),
+            "start_bin": pa.array(off // seq_len, type=pa.int64()),
+            "end_bin": pa.array((off + nt - 1) // seq_len, type=pa.int64()),
+        })
+
+    out = (counted.groupby("__bucket")
+           .map_groups(emit, batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _count_and_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
+    """(doc_id, n_tokens, __bucket) — whitespace token count per doc,
+    bucket = a doc_id RANGE (dense ids assumed for the range split; the
+    bucket key only needs to respect doc_id ordering across buckets)."""
+    text = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    words = pc.split_pattern_regex(text, pattern=WS_SPLIT)
+    flat = pc.list_flatten(words)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    parents = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    n_tokens = np.bincount(parents[nonempty], minlength=t.num_rows).astype(np.int64)
+    d = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(d, type=pa.int64()),
+        "n_tokens": pa.array(n_tokens, type=pa.int64()),
+        "__bucket": pa.array(np.minimum(d // _RANGE, num_buckets - 1), type=pa.int32()),
+    })
+
+
+# dense test-corpus ids: fixed range width keeps bucket count bounded
+# (ids past the last range clamp into the final bucket — ordering across
+# buckets is preserved); a production deployment would pick ranges from
+# doc_id quantiles
+_RANGE = 10_000

@@ -69,6 +69,52 @@ def text_stats_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def repetition_batch(t: pa.Table) -> pa.Table:
+    """doc_id, n_lines, n_distinct_lines, top_line_count, rep_ratio —
+    duplicate-line repetition (the boilerplate/log-spam signal a
+    pretraining quality filter thresholds on).  Lines = nonempty
+    ``\n``-split segments; rep_ratio = top_line_count / n_lines
+    (round6), 0 for line-less docs.  Vectorized: one Arrow split +
+    flatten, one pandas groupby over (doc, line) per batch — per-batch
+    state only, no shuffle."""
+    import pandas as pd
+
+    text = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    lines = pc.split_pattern(text, pattern="\n")
+    flat = pc.list_flatten(lines)
+    lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    parents = np.repeat(np.arange(len(lines), dtype=np.int64), lens)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    parents = parents[keep]
+    vals = flat.filter(pa.array(keep)).to_pylist()
+    df = pd.DataFrame({"p": parents, "line": vals})
+    n = t.num_rows
+    n_lines = np.bincount(parents, minlength=n).astype(np.int64)
+    if len(df):
+        per = df.groupby(["p", "line"], sort=False).size().reset_index(name="c")
+        gp = per.groupby("p")["c"]
+        nd = gp.size()
+        tc = gp.max()
+        n_distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+        top[tc.index.to_numpy()] = tc.to_numpy()
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(n_lines > 0, round6(top / np.maximum(n_lines, 1)), 0.0)
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_lines": pa.array(n_lines),
+            "n_distinct_lines": pa.array(n_distinct),
+            "top_line_count": pa.array(top),
+            "rep_ratio": pa.array(ratio, type=pa.float64()),
+        }
+    )
+
+
 def quality_batch(t: pa.Table) -> pa.Table:
     """doc_id, n_words, stopword_ratio, alpha_ratio, quality_score.
 
