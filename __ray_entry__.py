@@ -681,6 +681,16 @@ def q_pack(sf_dir: str):
     return pack_sequences(_docs(sf_dir), seq_len=2048)
 
 
+def q_mixture(sf_dir: str):
+    """Mixture rebalancing to a uniform source mix (every source
+    downsampled to the smallest source's size via deterministic
+    hash-rates) — full SQL oracle (HUGEINT Knuth hash + per-group
+    floor rates)."""
+    from coderag_ray.pipelines.sampling import mixture_sample
+
+    return mixture_sample(_docs(sf_dir), group_col="source")
+
+
 def q_lang_quota(sf_dir: str):
     from coderag_ray.pipelines.sampling import lang_quota_sample
 
@@ -985,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_sample": q_hash_sample,
         "q_split": q_split,
         "q_pack": q_pack,
+        "q_mixture": q_mixture,
         "q_lang_quota": q_lang_quota,
         "q_pattern_stats": q_pattern_stats,
         "q_decontam": q_decontam,
@@ -1411,6 +1422,15 @@ o AS (
 SELECT doc_id, n_tokens, strt AS "offset",
        strt // 2048 AS start_bin, (strt + n_tokens - 1) // 2048 AS end_bin
 FROM o WHERE n_tokens > 0 ORDER BY doc_id
+""",
+        "q_mixture": """
+WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+r AS (SELECT source, (100 * (SELECT min(c) FROM cnt)) // c AS rate FROM cnt),
+h AS (
+  SELECT d.doc_id, d.source AS "group", r.rate,
+         CAST((CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket
+  FROM documents d JOIN r ON r.source = d.source)
+SELECT doc_id, "group", bucket FROM h WHERE bucket < rate
 """,
         "q_lang_quota": """
 WITH w AS (

@@ -70,6 +70,47 @@ def train_val_test_split(docs_ds, val_pct: int = 10, test_pct: int = 10):
     return docs_ds.map_batches(assign, batch_format="pyarrow")
 
 
+def mixture_sample(docs_ds, group_col: str = "source"):
+    """Mixture rebalancing: downsample every group to the SMALLEST
+    group's size (uniform target mix), deterministically.
+
+    Two passes: a tiny groupby counts each group (group cardinality is
+    bounded — sources/domains, not docs); each group's keep-rate
+    ``floor(100 · min_count / count)`` percent is then applied with the
+    same Knuth hash-bucket arithmetic as :func:`hash_sample` (stable:
+    a kept doc stays kept as unrelated groups grow).  → Dataset
+    (doc_id, group, bucket) of kept docs.  Integer percent rates keep
+    the SQL oracle exact.
+    """
+    from ray.data.aggregate import Count
+
+    counts = {r[group_col]: r["count()"]
+              for r in docs_ds.groupby(group_col).aggregate(Count()).take_all()}
+    if not counts:
+        return docs_ds.map_batches(
+            lambda t: pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                "group": pa.array([], type=pa.string()),
+                                "bucket": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow")
+    m = min(counts.values())
+    rates = {g: (100 * m) // c for g, c in counts.items()}  # percent, floor
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = (d.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(1 << 32)
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        grp = t[group_col].to_pylist()
+        r = np.array([rates.get(g, 0) for g in grp], dtype=np.int64)
+        mask = bucket < r
+        return pa.table({
+            "doc_id": pa.array(d[mask], type=pa.int64()),
+            "group": pa.array([g for g, k in zip(grp, mask) if k], type=pa.string()),
+            "bucket": pa.array(bucket[mask], type=pa.int64()),
+        })
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
 def lang_quota_sample(docs_ds, quota: int = 20):
     """Per-language doc cap over the predicted language.
 
