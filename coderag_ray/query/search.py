@@ -360,47 +360,118 @@ def search(
     return _finish(parts, reader, tokens, k, min_score, with_doc_columns)
 
 
+CHAMPION_C = 256  # impact-ordered prefix length per term (fast path)
+
+
+def _champion_select(compact, tokens, recs, k):
+    """Exact impact-ordered early termination (champion lists — the
+    vectorized cousin of MaxScore/WAND pruning): candidates = the union
+    of each query term's ``CHAMPION_C`` highest-impact postings (full
+    posting lists for short terms), fully scored against the REAL
+    posting lists.  A doc outside the candidate set can only match
+    terms at non-champion postings, so its score is bounded by
+    Σ per-term (C+1)-th-largest impact; when the candidate k-th score
+    strictly beats that bound the candidate top-k IS the exhaustive
+    top-k (ties can't cross the bound — non-candidates are strictly
+    below).  Returns (sel, sel_scores) or None → caller falls back to
+    the exhaustive scatter.  Champion prefixes are argpartitioned once
+    per term per process (cached on the CompactIndex)."""
+    champs = getattr(compact, "_champions", None)
+    if champs is None:
+        champs = compact._champions = {}
+    cand_parts = []
+    bound = 0.0
+    complete = True  # every term contributed its FULL posting list
+    for tok, rec in recs:
+        if rec is None:
+            continue
+        ords, imps = rec
+        if len(ords) <= CHAMPION_C:
+            cand_parts.append(ords)
+            continue
+        complete = False
+        entry = champs.get(tok)
+        if entry is None:
+            part = np.argpartition(-imps, CHAMPION_C)
+            entry = champs[tok] = (ords[part[:CHAMPION_C]],
+                                   float(imps[part[CHAMPION_C]]))
+        cand_parts.append(entry[0])
+        bound += entry[1]
+    if not cand_parts:
+        return None
+    cand = np.unique(np.concatenate(cand_parts))
+    scores = np.zeros(len(cand), dtype=np.float64)
+    for tok, rec in recs:  # query order — float determinism
+        if rec is None:
+            continue
+        ords, imps = rec
+        j = np.searchsorted(ords, cand)
+        j[j >= len(ords)] = len(ords) - 1
+        m = ords[j] == cand
+        scores[m] += imps[j[m]]
+    if not complete:
+        if len(cand) < k:
+            return None
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        if not kth > bound:
+            return None  # bound can't certify exactness → exhaustive
+    order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand],
+                        -scores))[:k]
+    return cand[order], scores[order]
+
+
 def _search_compact(compact, reader, tokens, idf_map, k, min_score,
                     with_doc_columns, candidate_cap=None) -> pa.Table:
     """One numpy pass per query term over the merged resident index —
     bitwise-identical to the per-partition path (see CompactIndex)."""
-    scores = np.zeros(compact.n_chunks, dtype=np.float64)
-    term_ords: list[np.ndarray | None] = []
-    for tok in tokens:
-        rec = compact.postings.get(tok)
-        term_ords.append(rec[0] if rec is not None else None)
-        if rec is None:
-            continue
-        ords, impacts = rec  # impacts precomputed at preload (same floats)
-        scores[ords] += impacts
-    # BM25 impacts are strictly positive, so score > 0 ⟺ ≥1 term matched
-    # — one scatter pass instead of two (the per-chunk matched bitmask
-    # scatter was ~half the hot-query cost at 930k chunks); per-winner
-    # matched_terms are recovered below by binary search over the ≤k
-    # selected ordinals in each term's ordinal-sorted posting list.
-    cand = np.flatnonzero(scores > 0.0 if min_score <= 0.0 else scores >= min_score)
-    if len(cand) == 0:
+    recs = [(tok, compact.postings.get(tok)) for tok in tokens]
+    term_ords: list[np.ndarray | None] = [r[0] if r is not None else None
+                                          for _, r in recs]
+    sel = None
+    if candidate_cap is None and min_score <= 0.0 and k > 0:
+        fast = _champion_select(compact, tokens, recs, k)
+        if fast is not None:
+            sel, sel_scores = fast
+    if sel is None:
+        scores = np.zeros(compact.n_chunks, dtype=np.float64)
+        for _, rec in recs:
+            if rec is None:
+                continue
+            ords, impacts = rec  # impacts precomputed at preload (same floats)
+            scores[ords] += impacts
+        # BM25 impacts are strictly positive, so score > 0 ⟺ ≥1 term
+        # matched — one scatter pass instead of two (the per-chunk
+        # matched bitmask scatter was ~half the hot-query cost at 930k
+        # chunks); per-winner matched_terms are recovered below by
+        # binary search in each term's ordinal-sorted posting list.
+        cand = np.flatnonzero(scores > 0.0 if min_score <= 0.0
+                              else scores >= min_score)
+        if len(cand) == 0:
+            return _empty_result()
+        if candidate_cap is not None and len(cand) > candidate_cap:
+            # T3 (opt-in): keep only the top-cap candidates by distinct
+            # matched-term count before ranking — the reference's recall
+            # approximation; the count scatter is paid only on this path
+            counts = np.zeros(compact.n_chunks, dtype=np.int32)
+            for ords in term_ords:
+                if ords is not None:
+                    counts[ords] += 1
+            pre = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand],
+                              -counts[cand]))[:candidate_cap]
+            cand = np.sort(cand[pre])
+        sc = scores[cand]
+        if k > 0 and len(cand) > 4 * k:
+            # exact top-k preselection: keep everything >= the k-th
+            # largest score (ties included), then tie-break-sort the
+            # small survivor set
+            kth = np.partition(sc, len(sc) - k)[len(sc) - k]
+            m = sc >= kth
+            cand, sc = cand[m], sc[m]
+        order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand], -sc))[:k]
+        sel = cand[order]
+        sel_scores = scores[sel]
+    if len(sel) == 0:
         return _empty_result()
-    if candidate_cap is not None and len(cand) > candidate_cap:
-        # T3 (opt-in): keep only the top-cap candidates by distinct
-        # matched-term count before ranking — the reference's recall
-        # approximation; the count scatter is paid only on this path
-        counts = np.zeros(compact.n_chunks, dtype=np.int32)
-        for ords in term_ords:
-            if ords is not None:
-                counts[ords] += 1
-        pre = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand],
-                          -counts[cand]))[:candidate_cap]
-        cand = np.sort(cand[pre])
-    sc = scores[cand]
-    if k > 0 and len(cand) > 4 * k:
-        # exact top-k preselection: keep everything >= the k-th largest
-        # score (ties included), then tie-break-sort the small survivor set
-        kth = np.partition(sc, len(sc) - k)[len(sc) - k]
-        m = sc >= kth
-        cand, sc = cand[m], sc[m]
-    order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand], -sc))[:k]
-    sel = cand[order]
     pids, local = compact.locate(sel)
 
     def _terms_of(o: int) -> list[str]:
@@ -419,7 +490,7 @@ def _search_compact(compact, reader, tokens, idf_map, k, min_score,
             "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int32)),
             "doc_id": pa.array(compact.doc_ids[sel]),
             "chunk_id": pa.array(compact.chunk_ids[sel]),
-            "score": pa.array(scores[sel]),
+            "score": pa.array(sel_scores),
             "matched_terms": pa.array(matched_terms, type=pa.list_(pa.string())),
             "part_id": pa.array(pids),
             "ordinal": pa.array(local),
