@@ -360,7 +360,8 @@ def search(
     return _finish(parts, reader, tokens, k, min_score, with_doc_columns)
 
 
-CHAMPION_C = 256  # impact-ordered prefix length per term (fast path)
+CHAMPION_C = 256        # first-rung impact-ordered prefix length per term
+CHAMPION_LADDER = (1, 16)  # C multipliers tried before the exhaustive fallback
 
 
 def _champion_select(compact, tokens, recs, k):
@@ -379,45 +380,48 @@ def _champion_select(compact, tokens, recs, k):
     champs = getattr(compact, "_champions", None)
     if champs is None:
         champs = compact._champions = {}
-    cand_parts = []
-    bound = 0.0
-    complete = True  # every term contributed its FULL posting list
-    for tok, rec in recs:
-        if rec is None:
-            continue
-        ords, imps = rec
-        if len(ords) <= CHAMPION_C:
-            cand_parts.append(ords)
-            continue
-        complete = False
-        entry = champs.get(tok)
-        if entry is None:
-            part = np.argpartition(-imps, CHAMPION_C)
-            entry = champs[tok] = (ords[part[:CHAMPION_C]],
-                                   float(imps[part[CHAMPION_C]]))
-        cand_parts.append(entry[0])
-        bound += entry[1]
-    if not cand_parts:
-        return None
-    cand = np.unique(np.concatenate(cand_parts))
-    scores = np.zeros(len(cand), dtype=np.float64)
-    for tok, rec in recs:  # query order — float determinism
-        if rec is None:
-            continue
-        ords, imps = rec
-        j = np.searchsorted(ords, cand)
-        j[j >= len(ords)] = len(ords) - 1
-        m = ords[j] == cand
-        scores[m] += imps[j[m]]
-    if not complete:
-        if len(cand) < k:
+    for mult in CHAMPION_LADDER:
+        C = CHAMPION_C * mult
+        cand_parts = []
+        bound = 0.0
+        complete = True  # every term contributed its FULL posting list
+        for tok, rec in recs:
+            if rec is None:
+                continue
+            ords, imps = rec
+            if len(ords) <= C:
+                cand_parts.append(ords)
+                continue
+            complete = False
+            entry = champs.get((tok, C))
+            if entry is None:
+                part = np.argpartition(-imps, C)
+                entry = champs[(tok, C)] = (ords[part[:C]],
+                                            float(imps[part[C]]))
+            cand_parts.append(entry[0])
+            bound += entry[1]
+        if not cand_parts:
             return None
-        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
-        if not kth > bound:
-            return None  # bound can't certify exactness → exhaustive
-    order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand],
-                        -scores))[:k]
-    return cand[order], scores[order]
+        cand = np.unique(np.concatenate(cand_parts))
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for tok, rec in recs:  # query order — float determinism
+            if rec is None:
+                continue
+            ords, imps = rec
+            j = np.searchsorted(ords, cand)
+            j[j >= len(ords)] = len(ords) - 1
+            m = ords[j] == cand
+            scores[m] += imps[j[m]]
+        if not complete:
+            if len(cand) < k:
+                continue  # a larger rung may surface more candidates
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            if not kth > bound:
+                continue  # bound can't certify at this rung — escalate
+        order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand],
+                            -scores))[:k]
+        return cand[order], scores[order]
+    return None  # no rung certified → exhaustive scatter
 
 
 def _search_compact(compact, reader, tokens, idf_map, k, min_score,
