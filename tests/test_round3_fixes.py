@@ -273,3 +273,51 @@ def test_candidate_cap_reference_semantics(ray_session, tmp_path):
     with _pytest.raises(ValueError):
         search(d, q, 10, with_doc_columns=False, candidate_cap=5,
                filters=SearchFilters(path_filter="src/"))
+
+
+# --------------------------------------------------------------------------
+# champion-list early termination == exhaustive, always
+# --------------------------------------------------------------------------
+
+def test_champion_path_bitwise_equals_exhaustive(ray_session, tmp_path):
+    import ray.data
+
+    import coderag_ray.query.search as sm
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.corpus import make_corpus
+    from coderag_ray.index.build import build_index
+    from coderag_ray.query.search import search
+
+    # normal corpus + a flat-impact block (200 docs of identical text →
+    # identical impacts, ties everywhere: the bound can never certify,
+    # forcing the fallback) to exercise both branches
+    base = make_corpus(150, seed=17)
+    flat = pa.table({
+        "repo": pa.array(["r"] * 200),
+        "path": pa.array([f"flat/{i}.txt" for i in range(200)]),
+        "commit": pa.array(["c"] * 200),
+        "lang": pa.array(["text"] * 200),
+        "content": pa.array(["common words shared by every flat document here"] * 200),
+    })
+    tbl = pa.concat_tables([base.select(flat.column_names), flat])
+    d = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), d, IndexConfig(num_partitions=3))
+
+    queries = ["user authentication", "common words shared", "flat document",
+               "validate credentials password", "shared by every",
+               "nonexistent zzz", "database common connection"]
+    orig = sm._champion_select
+    try:
+        # tiny C so the champion machinery actually engages on this corpus
+        old_c = sm.CHAMPION_C
+        sm.CHAMPION_C = 8
+        for k in (1, 3, 10, 50):
+            for q in queries:
+                a = search(d, q, k, with_doc_columns=False)
+                sm._champion_select = lambda *x: None  # force exhaustive
+                b = search(d, q, k, with_doc_columns=False)
+                sm._champion_select = orig
+                assert a.equals(b), (q, k)
+    finally:
+        sm.CHAMPION_C = old_c
+        sm._champion_select = orig
