@@ -511,6 +511,45 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+# vectorized shingle hashing (round 3): rolling splitmix64 fold over
+# per-word blake2b hashes replaces per-shingle string joins + blake2b —
+# the shingling stage was the single most expensive bench pipeline.
+# The SAME function feeds the signature stage and the exact-Jaccard
+# verify, so candidate and verify sets stay hash-consistent; distinct
+# hash sets ≡ distinct shingle-string sets modulo 2^-64 collisions.
+_SH_SEED = np.uint64(0x243F6A8885A308D3)
+_SH_PHI = np.uint64(0x9E3779B97F4A7C15)
+_WORD_HASH_CACHE: dict[str, int] = {}  # per-process; vocab is Zipfian
+
+
+def doc_shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct uint64 hashes of the doc's word n-gram shingles
+    (window = min(n, n_words), matching :func:`_word_shingles`'s
+    short-doc behavior)."""
+    from coderag_ray.functions.hashing import splitmix64
+
+    ws = text.lower().split()
+    m = len(ws)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    cache = _WORD_HASH_CACHE
+    h = np.empty(m, dtype=np.uint64)
+    for i, w in enumerate(ws):
+        v = cache.get(w)
+        if v is None:
+            v = _hash64(w)
+            if len(cache) < 2_000_000:
+                cache[w] = v
+        h[i] = v
+    w_len = min(n, m)
+    L = m - w_len + 1
+    acc = np.full(L, _SH_SEED, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(w_len):
+            acc = splitmix64(acc ^ (h[j:j + L] * _SH_PHI))
+    return np.unique(acc)
+
+
 _rng = np.random.default_rng(12345)
 _MH_A = (_rng.integers(1, _MERS_P, size=MINHASH_PERMS, dtype=np.int64)).astype(np.uint64)
 _MH_B = (_rng.integers(0, _MERS_P, size=MINHASH_PERMS, dtype=np.int64)).astype(np.uint64)
@@ -593,43 +632,37 @@ def minhash_signatures_batch(hash_lists: list[np.ndarray],
 
 class MinHashStage:
     """Actor-pool map_batches stage: doc → (band_id, band_hash, doc_id)
-    rows.  Shingle→hash cache lives per actor."""
+    rows.  Word-hash cache lives per actor; shingle hashing and band
+    hashing are vectorized (:func:`doc_shingle_hashes` + a splitmix64
+    fold over each band's signature rows)."""
 
     def __init__(self, n: int = 3):
         self.n = n
-        self.cache: dict[str, int] = {}
-
-    def _sh(self, s: str) -> int:
-        v = self.cache.get(s)
-        if v is None:
-            v = _hash64(s)
-            if len(self.cache) < 2_000_000:
-                self.cache[s] = v
-        return v
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        rows_doc, rows_band, rows_hash = [], [], []
+        from coderag_ray.functions.hashing import splitmix64
+
         rpb = MINHASH_PERMS // MINHASH_BANDS
-        dids = t["doc_id"].to_pylist()
-        hash_lists = [
-            np.array([self._sh(s) for s in _word_shingles(text, self.n)], dtype=np.uint64)
-            for text in t["text"].to_pylist()
-        ]
-        sigs = minhash_signatures_batch(hash_lists)  # one matrix pass per block
-        for did, sig in zip(dids, sigs):
-            for b in range(MINHASH_BANDS):
-                band = sig[b * rpb : (b + 1) * rpb]
-                bh = int.from_bytes(
-                    hashlib.blake2b(band.tobytes(), digest_size=8).digest(), "big"
-                ) >> 1
-                rows_doc.append(did)
-                rows_band.append(b)
-                rows_hash.append(bh)
+        dids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        hash_lists = [doc_shingle_hashes(text, self.n)
+                      for text in t["text"].to_pylist()]
+        sigs = minhash_signatures_batch(hash_lists)  # (n_docs, perms)
+        n_docs = len(dids)
+        # band hash = splitmix64 fold over the band's rpb signature
+        # values — vectorized over (docs × bands) at once
+        bands = sigs.reshape(n_docs, MINHASH_BANDS, rpb)
+        acc = np.full((n_docs, MINHASH_BANDS), _SH_SEED, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(rpb):
+                acc = splitmix64(acc ^ (bands[:, :, j] * _SH_PHI))
+        bh = (acc >> np.uint64(1)).astype(np.int64)  # fits int64, positive
         return pa.table(
             {
-                "doc_id": pa.array(rows_doc, type=pa.int64()),
-                "band_id": pa.array(rows_band, type=pa.int32()),
-                "band_hash": pa.array(rows_hash, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(dids, MINHASH_BANDS), type=pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(MINHASH_BANDS, dtype=np.int32),
+                                            n_docs)),
+                "band_hash": pa.array(bh.reshape(-1), type=pa.int64()),
             }
         )
 
@@ -761,8 +794,7 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
                               value_set=pa.array(need_ids, type=pa.int64())))
         ids, arrs = [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            hs = np.unique(np.array([_hash64(s) for s in _word_shingles(text, n)],
-                                    dtype=np.uint64))
+            hs = doc_shingle_hashes(text, n)  # same hash family as the stage
             ids.append(did)
             arrs.append(hs)
         return pa.table({
