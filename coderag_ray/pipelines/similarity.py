@@ -254,7 +254,7 @@ def probe_paths(index_dir: str, buckets: set[int]) -> list[str]:
 
 
 def lsh_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
-              k: int = 5, multiprobe: int = 2) -> pa.Table:
+              k: int = 5, multiprobe: int = 3) -> pa.Table:
     """Probe the bucket-partitioned layout for each query vector.
 
     Reads ONLY the probed bucket partitions (partition-pruned
@@ -340,7 +340,7 @@ def _probe_scan(paths: list[str], qids: np.ndarray, Qn: np.ndarray,
     )
 
 
-def lsh_knn(emb_ds, query_ids: list[int], k: int = 5, multiprobe: int = 2,
+def lsh_knn(emb_ds, query_ids: list[int], k: int = 5, multiprobe: int = 3,
             index_dir: str | None = None):
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
