@@ -94,6 +94,48 @@ def _mask_code(code: str, family: str) -> str:
                     blank(i)
                     i += 1
             continue
+        # JS/TS regex literal: a '/' that can't be division (previous
+        # significant char can't end an expression) starts a regex —
+        # braces/quotes inside one must not derail the mask
+        if family == "js" and c == "/":
+            j = i - 1
+            while j >= 0 and out[j] in " \t\n":
+                j -= 1
+            prev = out[j] if j >= 0 else ""
+            is_regex = prev == "" or prev in "([{,;=:!&|?+-*%<>~^"
+            if not is_regex and (prev.isalpha() or prev == "_"):
+                # keyword before '/': return /.../ etc.
+                k = j
+                while k >= 0 and (out[k].isalnum() or out[k] == "_"):
+                    k -= 1
+                is_regex = "".join(out[k + 1:j + 1]) in (
+                    "return", "typeof", "case", "in", "of", "new",
+                    "delete", "void", "instanceof", "do", "else", "yield",
+                    "await")
+            if is_regex:
+                blank(i)
+                i += 1
+                in_class = False
+                while i < n and code[i] != "\n":
+                    ch2 = code[i]
+                    if ch2 == "\\":
+                        blank(i)
+                        if i + 1 < n:
+                            blank(i + 1)
+                        i += 2
+                        continue
+                    blank(i)
+                    i += 1
+                    if ch2 == "[":
+                        in_class = True
+                    elif ch2 == "]":
+                        in_class = False
+                    elif ch2 == "/" and not in_class:
+                        break
+                while i < n and code[i].isalpha():  # flags
+                    blank(i)
+                    i += 1
+                continue
         # rust raw strings r"..." / r#"..."#
         if family == "rust" and c == "r" and nxt in "#\"" and (
                 i == 0 or not (code[i - 1].isalnum() or code[i - 1] == "_")):
@@ -130,10 +172,8 @@ def _mask_code(code: str, family: str) -> str:
                 continue
             i += 1  # lifetime: leave as-is
             continue
-        # strings
+        # strings (go rune literals take the generic quote path)
         if c in "'\"`":
-            if c == "'" and family in ("go",):
-                pass  # go rune literal — fall through to generic handling
             if c == "`" and family == "go":
                 end = code.find("`", i + 1)  # raw: no escapes
                 end = n if end < 0 else end + 1
@@ -281,14 +321,18 @@ def _decl_end(masked: str, line_start: list[int], s_line: int, n_lines: int) -> 
         elif ch == ")" or ch == "]":
             paren = max(0, paren - 1)
         elif ch == "{":
-            depth += 1
-            seen_brace = True
+            # braces inside parens/brackets are destructuring patterns,
+            # TS object types or `= {}` defaults — not the body
+            if paren == 0:
+                depth += 1
+                seen_brace = True
         elif ch == "}":
-            depth -= 1
-            if seen_brace and depth == 0:
-                return min(n_lines - 1, masked.count("\n", 0, i + 1))
-            if depth < 0:  # unbalanced: treat as statement end
-                return min(n_lines - 1, masked.count("\n", 0, i))
+            if paren == 0:
+                depth -= 1
+                if seen_brace and depth == 0:
+                    return min(n_lines - 1, masked.count("\n", 0, i + 1))
+                if depth < 0:  # unbalanced: treat as statement end
+                    return min(n_lines - 1, masked.count("\n", 0, i))
         elif ch == ";" and depth == 0 and paren == 0:
             return min(n_lines - 1, masked.count("\n", 0, i))
         elif ch == "\n" and not seen_brace and depth == 0 and paren == 0:

@@ -140,7 +140,10 @@ def exact_dedup(docs_ds):
 
 # Recommended hot-shingle df cap at corpus scale — NOT the default:
 # capping silently changes exact all-pairs Jaccard into an approximation,
-# so scale-sensitive callers opt in explicitly (the bench does).
+# so scale-sensitive callers must opt in explicitly (the capped path is
+# exercised by tests/test_round2_fixes.py::test_ngram_jaccard_hot_shingle_cap; the
+# driver queries and bench run the exact default for SQL-oracle parity,
+# with MinHash-LSH as the documented scale path).
 SCALE_MAX_SHINGLE_DF = 1024
 
 

@@ -7,7 +7,9 @@ docs with a smaller ``doc_id`` — an ORDER-INDEPENDENT definition, which
 is what makes the computation distributable without a global sort:
 
 1. one ``map_batches`` pass counts whitespace tokens per doc
-   (vectorized Arrow kernels) and range-buckets ``doc_id``;
+   (vectorized Arrow kernels); ids are then range-bucketed over the
+   OBSERVED [min, max] id span (order-preserving, overflow-free — a
+   fixed range width would collapse sparse/hashed ids into one bucket);
 2. per-bucket token totals (≤ ``num_buckets`` rows) come back to the
    driver for an exclusive prefix scan — the classic two-pass
    distributed prefix sum;
@@ -37,11 +39,24 @@ def pack_sequences(docs_ds, seq_len: int = DEFAULT_SEQ_LEN,
     sorted by doc_id — where ``offset`` is the doc's first token's
     global position and bins are ``seq_len``-token training sequences.
     """
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
-    counted = docs_ds.map_batches(
-        lambda t: _count_and_bucket(t, num_buckets),
-        batch_format="pyarrow").materialize()
+    counted0 = docs_ds.map_batches(_count_tokens, batch_format="pyarrow").materialize()
+    # order-preserving range buckets from the OBSERVED id span — a fixed
+    # range width would collapse sparse/hashed 63-bit ids into one bucket
+    mm = counted0.aggregate(Min("doc_id", alias_name="lo"),
+                            Max("doc_id", alias_name="hi"))
+    lo, hi = int(mm["lo"] or 0), int(mm["hi"] or 0)
+    span = max(1, hi - lo + 1)
+
+    width = -(-span // num_buckets)  # ceil — overflow-free for 63-bit ids
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((d - lo) // width).astype(np.int32)
+        return t.append_column("__bucket", pa.array(np.minimum(b, num_buckets - 1)))
+
+    counted = counted0.map_batches(bucketize, batch_format="pyarrow").materialize()
 
     # pass 2: per-bucket totals → exclusive prefix scan (≤ num_buckets
     # rows on the driver — the only driver-side state)
@@ -79,10 +94,8 @@ def pack_sequences(docs_ds, seq_len: int = DEFAULT_SEQ_LEN,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _count_and_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
-    """(doc_id, n_tokens, __bucket) — whitespace token count per doc,
-    bucket = a doc_id RANGE (dense ids assumed for the range split; the
-    bucket key only needs to respect doc_id ordering across buckets)."""
+def _count_tokens(t: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens) — whitespace token count per doc, vectorized."""
     text = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
     words = pc.split_pattern_regex(text, pattern=WS_SPLIT)
     flat = pc.list_flatten(words)
@@ -94,12 +107,4 @@ def _count_and_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
     return pa.table({
         "doc_id": pa.array(d, type=pa.int64()),
         "n_tokens": pa.array(n_tokens, type=pa.int64()),
-        "__bucket": pa.array(np.minimum(d // _RANGE, num_buckets - 1), type=pa.int32()),
     })
-
-
-# dense test-corpus ids: fixed range width keeps bucket count bounded
-# (ids past the last range clamp into the final bucket — ordering across
-# buckets is preserved); a production deployment would pick ranges from
-# doc_id quantiles
-_RANGE = 10_000

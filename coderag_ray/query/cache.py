@@ -115,6 +115,14 @@ def create_cache_key(query: str, *, limit: int | None = None,
     return "|".join(parts)
 
 
+# search() kwarg defaults — kwargs equal to these are dropped from the
+# cache key so `search(q)` and `search(q, mode="bm25")` share one entry
+_SEARCH_KWARG_DEFAULTS = {
+    "mode": "bm25", "use_wand": False, "min_score": 0.0,
+    "with_doc_columns": True, "parallel": False, "candidate_cap": None,
+}
+
+
 class CachedSearcher:
     """Query-server front: search with result caching + rebuild
     invalidation."""
@@ -141,12 +149,14 @@ class CachedSearcher:
         if mtime != self._mtime:  # a new build landed → results are stale
             self.cache.invalidate()
             self._mtime = mtime
+        extra = {k_: v for k_, v in kwargs.items()
+                 if _SEARCH_KWARG_DEFAULTS.get(k_, object()) != v}
         key = create_cache_key(
             query, limit=k,
             file_extensions=getattr(filters, "file_extensions", None),
             path_filter=getattr(filters, "path_filter", None),
             exclude_paths=getattr(filters, "exclude_paths", None),
-            extra=kwargs,
+            extra=extra,
         )
         hit = self.cache.get(key)
         if hit is not None:

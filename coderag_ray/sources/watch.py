@@ -73,9 +73,13 @@ class DirectoryWatcher:
 
     def poll(self) -> list[str]:
         """One detection pass: diff the tree snapshot, (re)arm per-path
-        debounce timers, and fire ONE incremental refresh once every
-        settled path's timer expired.  Returns the paths that refreshed
-        (empty while debouncing or idle)."""
+        debounce timers, and fire ONE incremental refresh for every
+        SETTLED path (per-path timers, like the reference — a
+        continuously-churning file must not starve other files'
+        re-indexing).  Returns the paths that refreshed (empty while
+        debouncing or idle).  If the refresh build fails, the settled
+        paths stay pending and are retried on the next poll instead of
+        being silently dropped."""
         now = self._clock()
         cur = self._take_snapshot()
         changed = [p for p, sig in cur.items() if self._snapshot.get(p) != sig]
@@ -83,13 +87,16 @@ class DirectoryWatcher:
         for p in changed:
             self._pending[p] = now  # reset the path's debounce timer
         self._snapshot = cur
-        if not self._pending:
+        settled = sorted(p for p, t in self._pending.items()
+                         if now - t >= self.debounce_s)
+        if not settled:
             return []
-        if any(now - t < self.debounce_s for t in self._pending.values()):
-            return []  # something is still settling — wait
-        settled = sorted(self._pending)
-        self._pending.clear()
-        self._refresh()
+        try:
+            self._refresh()
+        except Exception:
+            return []  # keep `settled` pending — retried next poll
+        for p in settled:
+            self._pending.pop(p, None)
         return settled
 
     def _refresh(self) -> None:

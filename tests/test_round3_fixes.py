@@ -321,3 +321,27 @@ def test_champion_path_bitwise_equals_exhaustive(ray_session, tmp_path):
     finally:
         sm.CHAMPION_C = old_c
         sm._champion_select = orig
+
+
+# --------------------------------------------------------------------------
+# sequence packing: exact for sparse 63-bit ids (observed-span buckets)
+# --------------------------------------------------------------------------
+
+def test_pack_sequences_sparse_ids_exact(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    ids = np.sort(rng.choice(np.iinfo(np.int64).max // 2, size=300, replace=False))
+    texts = ["word " * (int(i) % 37) for i in range(300)]
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts)})
+    out = pack_sequences(ray.data.from_arrow(tbl).repartition(8),
+                         seq_len=128).to_pandas()
+    nt = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    keep = nt > 0
+    off = np.r_[0, np.cumsum(nt)[:-1]][keep]
+    assert (out["doc_id"].to_numpy() == ids[keep]).all()
+    assert (out["offset"].to_numpy() == off).all()
+    assert (out["start_bin"].to_numpy() == off // 128).all()

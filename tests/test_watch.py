@@ -71,3 +71,57 @@ def test_watcher_debounce_and_incremental_refresh(ray_session, tmp_path):
     w.poll()
     clock.t += 1
     assert w.poll() == [] and w.refreshes == 3
+
+
+def test_watcher_churner_does_not_starve_other_files(ray_session, tmp_path):
+    root = str(tmp_path / "proj")
+    idx = str(tmp_path / "idx")
+    _write(root, "a.py", "def stableFunctionOne():\n    return 1\n")
+    _write(root, "churn.py", "def churny():\n    return 0\n")
+    clock = FakeClock()
+    w = DirectoryWatcher(root, idx, IndexConfig(num_partitions=2),
+                         debounce_s=0.5, clock=clock)
+    w._refresh()
+    # edit a.py once; churn.py keeps changing every 0.3 s (< debounce)
+    _write(root, "a.py", "def stableFunctionOne():\n    return 1\n"
+                         "def starvedSymbol():\n    return 2\n")
+    _write(root, "churn.py", "def churny():\n    return 1\n")
+    w.poll()
+    for i in range(3):
+        clock.t += 0.3
+        _write(root, "churn.py", f"def churny():\n    return {i + 2}\n")
+        refreshed = w.poll()
+        if i == 0:
+            assert refreshed == []  # a.py not settled yet (0.3 s)
+        else:
+            # a.py settled at 0.6 s and refreshes despite churn.py churning
+            assert "a.py" in refreshed and "churn.py" not in refreshed
+            break
+    assert search(idx, "starvedSymbol", 5, with_doc_columns=False).num_rows > 0
+
+
+def test_watcher_failed_refresh_keeps_pending(ray_session, tmp_path):
+    root = str(tmp_path / "proj")
+    idx = str(tmp_path / "idx")
+    _write(root, "a.py", "def firstSymbol():\n    return 1\n")
+    clock = FakeClock()
+    w = DirectoryWatcher(root, idx, IndexConfig(num_partitions=2),
+                         debounce_s=0.5, clock=clock)
+    w._refresh()
+    _write(root, "a.py", "def firstSymbol():\n    return 1\n"
+                         "def retriedSymbol():\n    return 2\n")
+    w.poll()
+    clock.t += 1
+    boom = {"n": 0}
+    orig = w._refresh
+
+    def failing():
+        boom["n"] += 1
+        raise RuntimeError("transient")
+
+    w._refresh = failing
+    assert w.poll() == []          # failed → change stays pending
+    assert boom["n"] == 1
+    w._refresh = orig
+    assert w.poll() == ["a.py"]    # retried and succeeds
+    assert search(idx, "retriedSymbol", 5, with_doc_columns=False).num_rows > 0
