@@ -697,6 +697,15 @@ def q_lang_quota(sf_dir: str):
     return lang_quota_sample(_docs(sf_dir), quota=20)
 
 
+def q_redact(sf_dir: str):
+    """PII redaction transform (emails/URLs → sentinel tokens) — full
+    SQL oracle: identical RE2 replace chain, redacted-text sha256
+    proves byte-for-byte equality of the transform."""
+    from coderag_ray.pipelines.text_analysis import redact_batch
+
+    return _docs(sf_dir).map_batches(redact_batch, batch_format="pyarrow")
+
+
 def q_pattern_stats(sf_dir: str):
     from coderag_ray.pipelines.text_analysis import pattern_stats_batch
 
@@ -998,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mixture": q_mixture,
         "q_lang_quota": q_lang_quota,
         "q_pattern_stats": q_pattern_stats,
+        "q_redact": q_redact,
         "q_decontam": q_decontam,
         "q_fingerprint": q_fingerprint,
         "q_curation": q_curation,
@@ -1457,6 +1467,20 @@ lp AS (
 SELECT doc_id, lang_pred FROM (
   SELECT *, row_number() OVER (PARTITION BY lang_pred ORDER BY doc_id) AS rn FROM lp)
 WHERE rn <= 20
+""",
+        "q_redact": """
+WITH r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n_e,
+         regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+r2 AS (
+  SELECT doc_id, n_e,
+         len(regexp_extract_all(t1, 'https?://[^\\s]+')) AS n_u,
+         regexp_replace(t1, 'https?://[^\\s]+', '<URL>', 'g') AS t2
+  FROM r)
+SELECT doc_id, CAST(n_e + n_u AS BIGINT) AS n_redactions, sha256(t2) AS redacted_sha256
+FROM r2
 """,
         "q_pattern_stats": """
 SELECT doc_id,

@@ -205,6 +205,33 @@ URL_PATTERN = r"https?://[^\s]+"
 NUMBER_PATTERN = r"[0-9]+"
 
 
+def redact_batch(t: pa.Table) -> pa.Table:
+    """PII redaction transform: emails → ``<EMAIL>``, URLs → ``<URL>``
+    (applied in that order — an email inside a URL is already consumed
+    by the URL's greedy non-space run only when the URL match comes
+    FIRST, so the order is part of the frozen spec).  Emits
+    (doc_id, n_redactions, redacted_sha256) — the sha proves the full
+    transformed text byte-for-byte against the SQL oracle's identical
+    RE2 ``regexp_replace`` chain without shipping the text."""
+    from coderag_ray.functions.hashing import batch_sha256
+
+    text = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    n_e = pc.count_substring_regex(text, EMAIL_PATTERN)
+    red = pc.replace_substring_regex(text, pattern=EMAIL_PATTERN,
+                                     replacement="<EMAIL>")
+    n_u = pc.count_substring_regex(red, URL_PATTERN)
+    red = pc.replace_substring_regex(red, pattern=URL_PATTERN,
+                                     replacement="<URL>")
+    n = pc.add(pc.cast(n_e, pa.int64()), pc.cast(n_u, pa.int64()))
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_redactions": n,
+            "redacted_sha256": batch_sha256(red),
+        }
+    )
+
+
 def pattern_stats_batch(t: pa.Table) -> pa.Table:
     """Per-doc pattern counts for PII-scrub / filtering signals:
     emails, URLs, integer runs — the regex-count stage every large-scale
