@@ -945,6 +945,24 @@ def q_sessions(sf_dir: str):
     return session_windows(_events(sf_dir))
 
 
+def q_asof(sf_dir: str):
+    """Temporal as-of join: each purchase → the same user's most recent
+    view at-or-before it (ties by largest event_id).  Full SQL oracle:
+    IGNORE-NULLS last_value window with the identical sort contract."""
+    from coderag_ray.pipelines.events import asof_join
+
+    return asof_join(_events(sf_dir))
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join + aggregate: per purchase, count/sum the
+    same user's views in the preceding 7 days [t-W, t).  Full SQL
+    oracle: DuckDB non-equi LEFT JOIN with the same boundary rules."""
+    from coderag_ray.pipelines.events import range_join_agg
+
+    return range_join_agg(_events(sf_dir))
+
+
 def q_media_features(sf_dir: str):
     from coderag_ray.pipelines.multimodal import media_features
 
@@ -1028,6 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hopping": q_events_hopping,
         "q_props_stats": q_props_stats,
         "q_sessions": q_sessions,
+        "q_asof": q_asof,
+        "q_range_join": q_range_join,
         "q_media_features": q_media_features,
         "q_frame_sample": q_frame_sample,
         "q_media_resize": q_media_resize,
@@ -1683,6 +1703,36 @@ g AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM m)
 SELECT user_id, session_id, min(s) AS session_start, count(*) AS n_events
 FROM g GROUP BY user_id, session_id
+""",
+        "q_asof": """
+WITH u AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+  FROM events WHERE event_type IN ('purchase', 'view')
+), w AS (
+  SELECT event_id, user_id, ts_us, value, is_probe,
+    last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS) OVER win AS ref_event_id,
+    last_value(CASE WHEN is_probe = 0 THEN ts_us END IGNORE NULLS) OVER win AS ref_ts_us
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, is_probe, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_us, value,
+       COALESCE(ref_event_id, -1) AS ref_event_id,
+       CAST(COALESCE(ts_us - ref_ts_us, -1) AS BIGINT) AS lag_us
+FROM w WHERE is_probe = 1
+""",
+        "q_range_join": """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(count(r.ts_us) AS BIGINT) AS n_ref,
+       round(COALESCE(sum(r.value), 0), 6) AS sum_ref_value
+FROM p LEFT JOIN r ON r.user_id = p.user_id
+       AND r.ts_us >= p.ts_us - 604800000000 AND r.ts_us < p.ts_us
+GROUP BY p.event_id, p.user_id, p.ts_us
 """,
         "q_media_features": """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS payload_sha256,

@@ -284,7 +284,8 @@ def run_bench() -> dict:
                      "q_lsh_knn", "q_ivf_knn", "q_events_window",
                      "q_events_hopping", "q_sessions", "q_text_stats",
                      "q_keywords", "q_media_features", "q_frame_sample",
-                     "q_pack", "q_repetition", "q_mixture", "q_split", "q_redact"):
+                     "q_pack", "q_repetition", "q_mixture", "q_split", "q_redact",
+                     "q_asof", "q_range_join"):
             t0 = time.perf_counter()
             out = entrymod.queries()[name](SF_DIR)
             if hasattr(out, "to_pandas"):

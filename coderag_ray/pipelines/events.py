@@ -190,6 +190,151 @@ def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS):
     )
 
 
+ASOF_PROBE_TYPE = "purchase"
+ASOF_REF_TYPE = "view"
+RANGE_WINDOW_SECONDS = 7 * 86400
+
+
+def _bucketed_two_type(events_ds, probe_type: str, ref_type: str, n_buckets: int):
+    """Shared phase 1 for the temporal joins: prune to the two event
+    types, project to typed numeric columns (µs-resolution timestamps —
+    join exactness is at full input resolution, unlike the second-level
+    session windows), and key by ``hash(user_id) % n_buckets``.
+
+    Partitioning assumption (documented per the custom-operator rule): a
+    temporal join needs one user's timeline co-located.  The bucket
+    count is the scale knob — data per bucket ≈ corpus / n_buckets, and
+    a hot user costs one user's rows, never a corpus-sized group.
+    """
+    from coderag_ray.functions.hashing import splitmix64
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array([probe_type, ref_type]))
+        t = t.filter(keep)
+        u = pc.cast(t["user_id"], pa.int64())
+        ub = (splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": u,
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            "value": pc.cast(t["value"], pa.float64()),
+            "is_probe": pc.cast(pc.equal(t["event_type"], probe_type), pa.int8()),
+            "ubucket": pa.array(ub),
+        })
+
+    return events_ds.map_batches(project, batch_format="pyarrow").groupby("ubucket")
+
+
+def asof_join(events_ds, probe_type: str = ASOF_PROBE_TYPE,
+              ref_type: str = ASOF_REF_TYPE, n_buckets: int = 64):
+    """As-of (temporal) join: for every *probe* event, attach the
+    same-user *reference* event with the greatest ``ts ≤ probe.ts``
+    (exact-timestamp matches allowed; ties on ``ts`` broken by the
+    largest ``event_id``) — the classic "latest prior state" join that
+    Ray Data has no native operator for.
+
+    Shape: one shuffle of the two pruned event types keyed by a bounded
+    user-hash bucket, then a single vectorized sweep per bucket — sort
+    by ``(user, ts, is_probe, event_id)`` (references before probes at
+    equal ts) and forward-propagate the POSITION of the last reference
+    row with ``np.maximum.accumulate``; a propagated position from a
+    previous user sorts below the user's segment start and is rejected,
+    which resets the fill at user boundaries without a per-user loop.
+    Positions (not ids) propagate, so 64-bit event ids never round-trip
+    through float64.
+
+    → Dataset (event_id, user_id, ts_us, value, ref_event_id [-1 if no
+    prior reference], lag_us [-1 likewise]).
+    """
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        isp = g["is_probe"].to_numpy(dtype=np.int8)
+        order = np.lexsort((eid, isp, ts, u))
+        eid, u, ts, val, isp = eid[order], u[order], ts[order], val[order], isp[order]
+        n = len(eid)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(
+            np.where(np.r_[True, u[1:] != u[:-1]], pos, 0))
+        last_ref = np.maximum.accumulate(np.where(isp == 0, pos, -1))
+        probe = isp == 1
+        m = last_ref[probe]
+        has = m >= seg_start[probe]
+        ms = np.where(has, m, 0)  # safe gather index
+        return pa.table({
+            "event_id": pa.array(eid[probe]),
+            "user_id": pa.array(u[probe]),
+            "ts_us": pa.array(ts[probe]),
+            "value": pa.array(val[probe]),
+            "ref_event_id": pa.array(np.where(has, eid[ms], -1)),
+            "lag_us": pa.array(np.where(has, ts[probe] - ts[ms], -1)),
+        })
+
+    return _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets) \
+        .map_groups(merge, batch_format="pandas")
+
+
+def range_join_agg(events_ds, probe_type: str = ASOF_PROBE_TYPE,
+                   ref_type: str = ASOF_REF_TYPE,
+                   window_seconds: int = RANGE_WINDOW_SECONDS,
+                   n_buckets: int = 64):
+    """Range (interval) join + aggregate: for every *probe* event, count
+    and sum the same-user *reference* events with ``ts ∈ [probe.ts − W,
+    probe.ts)`` — a non-equi join Ray Data cannot express declaratively.
+
+    Same bucketed shape as :func:`asof_join`; per bucket the interval
+    lookups are ONE sorted sweep, no per-probe loop: each probe emits a
+    start marker at ``t − W`` and an end marker at ``t``; markers sort
+    BEFORE references at equal ts (so a reference exactly at ``t − W``
+    counts and one exactly at ``t`` does not), and the running cumsum of
+    reference counts/values between a probe's two markers is exactly its
+    window aggregate.  Both markers share the probe's user, so every row
+    between them is same-user — the user-primary sort makes per-user
+    resets unnecessary.
+
+    → Dataset (event_id, user_id, ts_us, n_ref, sum_ref_value round6).
+    """
+
+    win_us = np.int64(window_seconds) * 1_000_000
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        isp = g["is_probe"].to_numpy(dtype=np.int8)
+        pr, rf = isp == 1, isp == 0
+        pu, pt, pe = u[pr], ts[pr], eid[pr]
+        n_p, n_r = int(pr.sum()), int(rf.sum())
+        au = np.concatenate([u[rf], pu, pu])
+        ats = np.concatenate([ts[rf], pt - win_us, pt])
+        kind = np.concatenate([np.ones(n_r, np.int8), np.zeros(2 * n_p, np.int8)])
+        w_cnt = np.concatenate([np.ones(n_r), np.zeros(2 * n_p)])
+        w_val = np.concatenate([val[rf], np.zeros(2 * n_p)])
+        order = np.lexsort((kind, ats, au))
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order), dtype=np.int64)
+        ccnt = np.cumsum(w_cnt[order])
+        cval = np.cumsum(w_val[order])
+        ps, pe_pos = inv[n_r:n_r + n_p], inv[n_r + n_p:]
+        n_ref = (ccnt[pe_pos] - ccnt[ps]).astype(np.int64)
+        sum_v = round6(cval[pe_pos] - cval[ps]) + 0.0  # −0.0 → 0.0 (empty windows)
+        return pa.table({
+            "event_id": pa.array(pe),
+            "user_id": pa.array(pu),
+            "ts_us": pa.array(pt),
+            "n_ref": pa.array(n_ref),
+            "sum_ref_value": pa.array(sum_v),
+        })
+
+    return _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets) \
+        .map_groups(merge, batch_format="pandas")
+
+
 def props_stats(events_ds):
     """JSON payload extraction + aggregate — the log-analytics step over
     the ``props`` JSON column: parse per event (stdlib ``json``; an

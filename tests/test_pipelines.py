@@ -147,6 +147,72 @@ def test_session_windows_gap_semantics(ray_session):
     assert list(out.session_id) == [0, 1]
 
 
+def _synthetic_events(n=400, seed=11):
+    """Adversarial temporal-join fixture: coarse second-resolution
+    timestamps force plenty of exact ties (probe==ref ts, ref==ref ts),
+    user 0 is hot (~half the rows), and some probes precede any ref."""
+    rng = np.random.default_rng(seed)
+    users = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 9, n))
+    ts_s = rng.integers(0, 120, n) * 1_000_000  # µs, 120 distinct seconds
+    types = rng.choice(["purchase", "view", "click"], n, p=[0.4, 0.4, 0.2])
+    import pandas as pd
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(pd.to_datetime(ts_s, unit="us").astype("datetime64[us]")),
+        "user_id": pa.array(users.astype(np.int64)),
+        "event_type": pa.array(types),
+        "value": pa.array(np.round(rng.random(n) * 100, 2)),
+    })
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.events import asof_join
+
+    tbl = _synthetic_events()
+    out = (asof_join(ray.data.from_arrow(tbl), n_buckets=4)
+           .to_pandas().set_index("event_id").sort_index())
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    probes = df[df.event_type == "purchase"]
+    refs = df[df.event_type == "view"]
+    assert len(out) == len(probes) and len(probes) > 50
+    for _, p in probes.iterrows():
+        cand = refs[(refs.user_id == p.user_id) & (refs.ts_us <= p.ts_us)]
+        got = out.loc[p.event_id]
+        if cand.empty:
+            assert got.ref_event_id == -1 and got.lag_us == -1
+        else:
+            best = cand.sort_values(["ts_us", "event_id"]).iloc[-1]
+            assert got.ref_event_id == best.event_id
+            assert got.lag_us == p.ts_us - best.ts_us
+        assert got.value == p.value
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    import ray.data
+
+    from coderag_ray.pipelines.events import range_join_agg
+
+    W = 30  # seconds — small enough that windows are partial
+    tbl = _synthetic_events(seed=13)
+    out = (range_join_agg(ray.data.from_arrow(tbl), window_seconds=W, n_buckets=4)
+           .to_pandas().set_index("event_id").sort_index())
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    probes = df[df.event_type == "purchase"]
+    refs = df[df.event_type == "view"]
+    assert len(out) == len(probes)
+    for _, p in probes.iterrows():
+        lo, hi = p.ts_us - W * 1_000_000, p.ts_us
+        cand = refs[(refs.user_id == p.user_id)
+                    & (refs.ts_us >= lo) & (refs.ts_us < hi)]
+        got = out.loc[p.event_id]
+        assert got.n_ref == len(cand)
+        assert abs(got.sum_ref_value - round(float(cand.value.sum()), 6)) < 1e-6
+
+
 def test_media_features_deterministic_fake(ray_session):
     from coderag_ray.pipelines.multimodal import MediaFeatureStage, decode_image
 
