@@ -376,10 +376,27 @@ def _champion_select(compact, tokens, recs, k):
     top-k (ties can't cross the bound — non-candidates are strictly
     below).  Returns (sel, sel_scores) or None → caller falls back to
     the exhaustive scatter.  Champion prefixes are argpartitioned once
-    per term per process (cached on the CompactIndex)."""
+    per term per process (cached on the CompactIndex).
+
+    Cost discipline: a hot term pays exactly ONE O(n) pass over its
+    posting list regardless of how far the ladder escalates — the
+    shared top-``C_MAX`` prefix is partitioned once per term and every
+    smaller rung is derived from that subset (the (C+1)-th largest
+    impact of the full list lies inside the top-C_MAX for any
+    C < C_MAX).  Before this, a query that escalated to the exhaustive
+    fallback re-partitioned every hot term at each rung, and the failed
+    ladder was ~70% of cold tail latency.  Champion membership among
+    impact-TIED postings at the pivot may differ from a direct
+    partition at C, but certification is selection-invariant: the bound
+    is the tied pivot VALUE either way, and a certified candidate top-k
+    equals the unique exhaustive top-k (non-candidates are strictly
+    below the bound; the final tie-break is deterministic) — asserted
+    bitwise by the champion-vs-exhaustive regression tests."""
     champs = getattr(compact, "_champions", None)
     if champs is None:
         champs = compact._champions = {}
+    C_MAX = CHAMPION_C * CHAMPION_LADDER[-1]
+    prev_kth = None
     for mult in CHAMPION_LADDER:
         C = CHAMPION_C * mult
         cand_parts = []
@@ -395,12 +412,38 @@ def _champion_select(compact, tokens, recs, k):
             complete = False
             entry = champs.get((tok, C))
             if entry is None:
-                part = np.argpartition(-imps, C)
-                entry = champs[(tok, C)] = (ords[part[:C]],
-                                            float(imps[part[C]]))
+                if len(ords) > C_MAX:
+                    top = champs.get(tok)
+                    if top is None:  # the term's single O(n) pass
+                        part = np.argpartition(-imps, C_MAX)
+                        top = champs[tok] = (ords[part[:C_MAX]],
+                                             imps[part[:C_MAX]],
+                                             float(imps[part[C_MAX]]))
+                    t_ords, t_imps, t_bound = top
+                    if C >= C_MAX:
+                        entry = (t_ords, t_bound)
+                    else:  # O(C_MAX) derivation, not O(n)
+                        sub = np.argpartition(-t_imps, C)
+                        entry = (t_ords[sub[:C]], float(t_imps[sub[C]]))
+                else:  # C < len(ords) ≤ C_MAX: direct cost is O(C_MAX)
+                    part = np.argpartition(-imps, C)
+                    entry = (ords[part[:C]], float(imps[part[C]]))
+                champs[(tok, C)] = entry
             cand_parts.append(entry[0])
             bound += entry[1]
         if not cand_parts:
+            return None
+        if prev_kth is not None and not (prev_kth > bound):
+            # Escalation feasibility (exact): deriving every rung from
+            # the shared top-C_MAX prefix makes the rungs NESTED
+            # (cand ⊇ previous rung's cand), so this rung's kth can
+            # only be ≥ the previous kth.  If the previous kth already
+            # beats this rung's bound, certification here is GUARANTEED
+            # — score and return.  Otherwise the attempt almost never
+            # certifies in practice (all-hot-term queries have flat
+            # impact tails: measured 0/43 rung-2 certs on the bench
+            # mix) and costs a full scoring pass over a 16× candidate
+            # set — skip straight to the exhaustive scatter.
             return None
         cand = np.unique(np.concatenate(cand_parts))
         scores = np.zeros(len(cand), dtype=np.float64)
@@ -417,6 +460,7 @@ def _champion_select(compact, tokens, recs, k):
                 continue  # a larger rung may surface more candidates
             kth = np.partition(scores, len(scores) - k)[len(scores) - k]
             if not kth > bound:
+                prev_kth = kth
                 continue  # bound can't certify at this rung — escalate
         order = np.lexsort((compact.chunk_ids[cand], compact.doc_ids[cand],
                             -scores))[:k]
