@@ -310,19 +310,35 @@ def range_join_agg(events_ds, probe_type: str = ASOF_PROBE_TYPE,
         pr, rf = isp == 1, isp == 0
         pu, pt, pe = u[pr], ts[pr], eid[pr]
         n_p, n_r = int(pr.sum()), int(rf.sum())
+        if n_p == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "ts_us": pa.array([], type=pa.int64()),
+                "n_ref": pa.array([], type=pa.int64()),
+                "sum_ref_value": pa.array([], type=pa.float64()),
+            })
         au = np.concatenate([u[rf], pu, pu])
         ats = np.concatenate([ts[rf], pt - win_us, pt])
         kind = np.concatenate([np.ones(n_r, np.int8), np.zeros(2 * n_p, np.int8)])
-        w_cnt = np.concatenate([np.ones(n_r), np.zeros(2 * n_p)])
-        w_val = np.concatenate([val[rf], np.zeros(2 * n_p)])
         order = np.lexsort((kind, ats, au))
         inv = np.empty(len(order), dtype=np.int64)
         inv[order] = np.arange(len(order), dtype=np.int64)
-        ccnt = np.cumsum(w_cnt[order])
-        cval = np.cumsum(w_val[order])
+        # per-marker rank into the ref-only SORTED stream (exact int64)
+        ref_mask = kind[order] == 1
+        gcum = np.cumsum(ref_mask)
         ps, pe_pos = inv[n_r:n_r + n_p], inv[n_r + n_p:]
-        n_ref = (ccnt[pe_pos] - ccnt[ps]).astype(np.int64)
-        sum_v = round6(cval[pe_pos] - cval[ps]) + 0.0  # −0.0 → 0.0 (empty windows)
+        lo, hi = gcum[ps], gcum[pe_pos]
+        n_ref = (hi - lo).astype(np.int64)
+        # SEGMENTED window sums over the sorted ref-only stream
+        # (add.reduceat), not a difference of bucket-global prefix sums
+        # — error stays proportional to the window's own sum, never the
+        # bucket prefix.  NULL ref values sum as 0, matching SQL
+        # sum()'s NULL-skip (count uses the rows, like count(r.ts_us)).
+        w_val = np.concatenate([val[rf], np.zeros(2 * n_p)])
+        rv = np.nan_to_num(np.concatenate([w_val[order][ref_mask], [0.0]]))
+        seg = np.add.reduceat(rv, np.column_stack([lo, hi]).ravel())[::2]
+        sum_v = round6(np.where(n_ref > 0, seg, 0.0)) + 0.0  # −0.0 → 0.0
         return pa.table({
             "event_id": pa.array(pe),
             "user_id": pa.array(pu),

@@ -434,16 +434,21 @@ def _champion_select(compact, tokens, recs, k):
         if not cand_parts:
             return None
         if prev_kth is not None and not (prev_kth > bound):
-            # Escalation feasibility (exact): deriving every rung from
-            # the shared top-C_MAX prefix makes the rungs NESTED
-            # (cand ⊇ previous rung's cand), so this rung's kth can
-            # only be ≥ the previous kth.  If the previous kth already
-            # beats this rung's bound, certification here is GUARANTEED
-            # — score and return.  Otherwise the attempt almost never
-            # certifies in practice (all-hot-term queries have flat
-            # impact tails: measured 0/43 rung-2 certs on the bench
-            # mix) and costs a full scoring pass over a 16× candidate
-            # set — skip straight to the exhaustive scatter.
+            # Escalation feasibility (exact for the 2-rung ladder):
+            # this rung is C_MAX, so every hot term contributes its
+            # FULL shared prefix and cand ⊇ the previous rung's cand
+            # (smaller rungs are derived subsets of the same prefix) —
+            # kth can only be ≥ the previous kth.  If the previous kth
+            # already beats this rung's bound, certification here is
+            # GUARANTEED — score and return.  Otherwise the attempt
+            # almost never certifies in practice (all-hot-term queries
+            # have flat impact tails: measured 0/43 rung-2 certs on
+            # the bench mix) and costs a full scoring pass over a 16×
+            # candidate set — skip straight to the exhaustive scatter.
+            # With 3+ rungs, argpartition tie-breaks at a middle rung
+            # could break nesting and this gate becomes a heuristic;
+            # results stay exact because kth > bound is re-checked
+            # after scoring before anything is returned.
             return None
         cand = np.unique(np.concatenate(cand_parts))
         scores = np.zeros(len(cand), dtype=np.float64)

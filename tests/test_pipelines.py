@@ -213,6 +213,32 @@ def test_range_join_matches_bruteforce(ray_session):
         assert abs(got.sum_ref_value - round(float(cand.value.sum()), 6)) < 1e-6
 
 
+def test_range_join_null_ref_value_matches_sql_sum(ray_session):
+    """A NULL reference value must not poison later windows in the
+    bucket: SQL sum() skips NULLs (count(r.ts_us) still counts the
+    row); the segmented-sum path treats NaN as 0, which is the same
+    contract."""
+    import pandas as pd
+    import ray.data
+
+    from coderag_ray.pipelines.events import range_join_agg
+
+    ts = pd.to_datetime([0, 10, 20, 30], unit="s").astype("datetime64[us]")
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([5, 5, 5, 5], type=pa.int64()),
+        "event_type": pa.array(["view", "view", "purchase", "purchase"]),
+        "value": pa.array([2.5, None, 1.0, 1.0], type=pa.float64()),
+    })
+    out = (range_join_agg(ray.data.from_arrow(tbl), window_seconds=3600)
+           .to_pandas().set_index("event_id").sort_index())
+    # both probes see both views; the NULL view contributes 0 to the
+    # sum but still counts as a row
+    assert list(out.n_ref) == [2, 2]
+    assert list(out.sum_ref_value) == [2.5, 2.5]
+
+
 def test_media_features_deterministic_fake(ray_session):
     from coderag_ray.pipelines.multimodal import MediaFeatureStage, decode_image
 
