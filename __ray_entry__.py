@@ -963,6 +963,22 @@ def q_range_join(sf_dir: str):
     return range_join_agg(_events(sf_dir))
 
 
+def q_temporal_join(sf_dir: str):
+    """Combined temporal-join surface (one driver row for BOTH
+    operators): as-of join (latest same-user view at-or-before each
+    purchase) + trailing-7-day range aggregate, computed in a single
+    exchange by :func:`coderag_ray.pipelines.events.temporal_join`.
+    Full SQL oracle: the as-of IGNORE-NULLS window joined to the
+    non-equi range aggregate on the (unique) probe event id.
+    ``q_asof``/``q_range_join`` remain as standalone callables with
+    their own oracles (scripts/check_oracles.py covers them); this
+    merged row keeps the driver artifact within its 50-query budget
+    without dropping either operator from the checked surface."""
+    from coderag_ray.pipelines.events import temporal_join
+
+    return temporal_join(_events(sf_dir))
+
+
 def q_media_features(sf_dir: str):
     from coderag_ray.pipelines.multimodal import media_features
 
@@ -982,6 +998,56 @@ def q_media_resize(sf_dir: str):
                                                      batch_format="pyarrow")
 
 
+def q_media(sf_dir: str):
+    """Combined multimodal surface (one driver row for all three media
+    stages): feature extraction, frame sampling, and resize planning,
+    unioned into one aligned schema (stage, doc_id, i1, i2, i3, sha,
+    flag) — full SQL oracle (UNION ALL of the three stage oracles).
+    The standalone ``q_media_features``/``q_frame_sample``/
+    ``q_media_resize`` callables keep their own oracles for
+    scripts/check_oracles.py; the merged row fits the driver's 50-query
+    artifact budget."""
+
+    def tag_features(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "stage": pa.array(["features"] * t.num_rows, type=pa.string()),
+            "doc_id": t["doc_id"],
+            "i1": t["n_bytes"],
+            "i2": t["fake_width"],
+            "i3": t["fake_height"],
+            "sha": t["payload_sha256"],
+            "flag": pa.array([False] * t.num_rows, type=pa.bool_()),
+        })
+
+    def tag_frames(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table({
+            "stage": pa.array(["frame"] * t.num_rows, type=pa.string()),
+            "doc_id": t["doc_id"],
+            "i1": t["frame_idx"],
+            "i2": z,
+            "i3": z,
+            "sha": t["frame_sha256"],
+            "flag": pa.array([False] * t.num_rows, type=pa.bool_()),
+        })
+
+    def tag_resize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "stage": pa.array(["resize"] * t.num_rows, type=pa.string()),
+            "doc_id": t["doc_id"],
+            "i1": t["out_width"],
+            "i2": t["out_height"],
+            "i3": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "sha": pa.array([""] * t.num_rows, type=pa.string()),
+            "flag": t["scaled"],
+        })
+
+    feats = q_media_features(sf_dir).map_batches(tag_features, batch_format="pyarrow")
+    frames = q_frame_sample(sf_dir).map_batches(tag_frames, batch_format="pyarrow")
+    resize = q_media_resize(sf_dir).map_batches(tag_resize, batch_format="pyarrow")
+    return feats.union(frames).union(resize)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -994,6 +1060,18 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Exactly 50 registered queries — the r3 driver artifact recorded
+    only the first 50 dict entries, so the full operator surface is
+    packed into 50 rows: the two temporal joins run combined as
+    ``q_temporal_join``, the three media stages as ``q_media``, and the
+    rows-only ``q_lsh_knn``/``q_ivf_knn``/``q_simhash`` are covered by
+    their hash-checked invariant oracles (``q_lsh_recall``/
+    ``q_ivf_recall``/``q_simhash_dup``) which execute the same
+    operators.  Every standalone callable (q_asof, q_range_join,
+    q_media_features, q_frame_sample, q_media_resize, q_lsh_knn,
+    q_ivf_knn, q_simhash) still exists with its own oracle in
+    ``EXTRA_QUERIES``/``EXTRA_ORACLES`` and is checked by
+    scripts/check_oracles.py (CORRECTNESS_SELF artifact)."""
     return {
         "q_chunk_stats": q_chunk_stats,
         "q_doc_stats": q_doc_stats,
@@ -1033,11 +1111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_pairs": q_minhash_pairs,
-        "q_simhash": q_simhash,
         "q_embdup": q_embdup,
         "q_knn": q_knn,
-        "q_lsh_knn": q_lsh_knn,
-        "q_ivf_knn": q_ivf_knn,
         "q_lsh_recall": q_lsh_recall,
         "q_ivf_recall": q_ivf_recall,
         "q_minhash_recall": q_minhash_recall,
@@ -1046,17 +1121,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hopping": q_events_hopping,
         "q_props_stats": q_props_stats,
         "q_sessions": q_sessions,
+        "q_temporal_join": q_temporal_join,
+        "q_media": q_media,
+    }
+
+
+# standalone variants of the consolidated driver rows — same functions,
+# same oracles, checked by scripts/check_oracles.py into the
+# CORRECTNESS_SELF artifact (the driver records the 50 above)
+def extra_queries() -> dict[str, Callable[[str], Any]]:
+    return {
         "q_asof": q_asof,
         "q_range_join": q_range_join,
         "q_media_features": q_media_features,
         "q_frame_sample": q_frame_sample,
         "q_media_resize": q_media_resize,
+        "q_lsh_knn": q_lsh_knn,
+        "q_ivf_knn": q_ivf_knn,
+        "q_simhash": q_simhash,
     }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# standalone temporal-join / media oracles — used directly by
+# extra_oracle_sql() and composed into the merged q_temporal_join /
+# q_media driver oracles
+_ASOF_SQL = """
+WITH u AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+  FROM events WHERE event_type IN ('purchase', 'view')
+), w AS (
+  SELECT event_id, user_id, ts_us, value, is_probe,
+    last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS) OVER win AS ref_event_id,
+    last_value(CASE WHEN is_probe = 0 THEN ts_us END IGNORE NULLS) OVER win AS ref_ts_us
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, is_probe, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_us, value,
+       COALESCE(ref_event_id, -1) AS ref_event_id,
+       CAST(COALESCE(ts_us - ref_ts_us, -1) AS BIGINT) AS lag_us
+FROM w WHERE is_probe = 1
+"""
+
+_RANGE_SQL = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+     rr AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+            FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(count(rr.ts_us) AS BIGINT) AS n_ref,
+       round(COALESCE(sum(rr.value), 0), 6) AS sum_ref_value
+FROM p LEFT JOIN rr ON rr.user_id = p.user_id
+       AND rr.ts_us >= p.ts_us - 604800000000 AND rr.ts_us < p.ts_us
+GROUP BY p.event_id, p.user_id, p.ts_us
+"""
+
+_MEDIA_FEATURES_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS payload_sha256,
+       octet_length(encode(text)) % 64 + 1 AS fake_width,
+       (octet_length(encode(text)) // 64) % 64 + 1 AS fake_height
+FROM documents
+"""
+
+_FRAME_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, text, (octet_length(encode(text)) // 4096) % 8 + 1 AS n_frames
+  FROM documents)
+SELECT doc_id, i AS frame_idx, sha256(text || CAST(i AS VARCHAR)) AS frame_sha256
+FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS i FROM d)
+"""
+
+_MEDIA_RESIZE_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS w,
+         CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS h
+  FROM documents),
+m AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM f)
+SELECT doc_id,
+       CAST(CASE WHEN mx > 32 THEN (w * 32 + mx - 1) // mx ELSE w END AS BIGINT) AS out_width,
+       CAST(CASE WHEN mx > 32 THEN (h * 32 + mx - 1) // mx ELSE h END AS BIGINT) AS out_height,
+       mx > 32 AS scaled
+FROM m
+"""
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the standalone variants in :func:`extra_queries`
+    (q_lsh_knn/q_ivf_knn/q_simhash are rows-only by design)."""
+    return {
+        "q_asof": _ASOF_SQL,
+        "q_range_join": _RANGE_SQL,
+        "q_media_features": _MEDIA_FEATURES_SQL,
+        "q_frame_sample": _FRAME_SAMPLE_SQL,
+        "q_media_resize": _MEDIA_RESIZE_SQL,
+    }
 
 # exact-kNN side of the ANN quality invariants (q_lsh_recall /
 # q_ivf_recall): genuinely recomputes the per-query exact result count
@@ -1704,61 +1868,27 @@ g AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
 SELECT user_id, session_id, min(s) AS session_start, count(*) AS n_events
 FROM g GROUP BY user_id, session_id
 """,
-        "q_asof": """
-WITH u AS (
-  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
-  FROM events WHERE event_type IN ('purchase', 'view')
-), w AS (
-  SELECT event_id, user_id, ts_us, value, is_probe,
-    last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS) OVER win AS ref_event_id,
-    last_value(CASE WHEN is_probe = 0 THEN ts_us END IGNORE NULLS) OVER win AS ref_ts_us
-  FROM u
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, is_probe, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT event_id, user_id, ts_us, value,
-       COALESCE(ref_event_id, -1) AS ref_event_id,
-       CAST(COALESCE(ts_us - ref_ts_us, -1) AS BIGINT) AS lag_us
-FROM w WHERE is_probe = 1
+        "q_temporal_join": f"""
+WITH a AS ({_ASOF_SQL}),
+     r AS ({_RANGE_SQL})
+SELECT a.event_id, a.user_id, a.ts_us, a.value, a.ref_event_id, a.lag_us,
+       r.n_ref, r.sum_ref_value
+FROM a JOIN r ON a.event_id = r.event_id
 """,
-        "q_range_join": """
-WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-           FROM events WHERE event_type = 'purchase'),
-     r AS (SELECT user_id, epoch_us(ts) AS ts_us, value
-           FROM events WHERE event_type = 'view')
-SELECT p.event_id, p.user_id, p.ts_us,
-       CAST(count(r.ts_us) AS BIGINT) AS n_ref,
-       round(COALESCE(sum(r.value), 0), 6) AS sum_ref_value
-FROM p LEFT JOIN r ON r.user_id = p.user_id
-       AND r.ts_us >= p.ts_us - 604800000000 AND r.ts_us < p.ts_us
-GROUP BY p.event_id, p.user_id, p.ts_us
-""",
-        "q_media_features": """
-SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS payload_sha256,
-       octet_length(encode(text)) % 64 + 1 AS fake_width,
-       (octet_length(encode(text)) // 64) % 64 + 1 AS fake_height
-FROM documents
-""",
-        "q_frame_sample": """
-WITH d AS (
-  SELECT doc_id, text, (octet_length(encode(text)) // 4096) % 8 + 1 AS n_frames
-  FROM documents)
-SELECT doc_id, i AS frame_idx, sha256(text || CAST(i AS VARCHAR)) AS frame_sha256
-FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS i FROM d)
-""",
-        "q_media_resize": """
-WITH f AS (
-  SELECT doc_id,
-         CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS w,
-         CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT) AS h
-  FROM documents),
-m AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM f)
-SELECT doc_id,
-       CAST(CASE WHEN mx > 32 THEN (w * 32 + mx - 1) // mx ELSE w END AS BIGINT) AS out_width,
-       CAST(CASE WHEN mx > 32 THEN (h * 32 + mx - 1) // mx ELSE h END AS BIGINT) AS out_height,
-       mx > 32 AS scaled
-FROM m
+        "q_media": f"""
+SELECT 'features' AS stage, doc_id, CAST(n_bytes AS BIGINT) AS i1,
+       CAST(fake_width AS BIGINT) AS i2, CAST(fake_height AS BIGINT) AS i3,
+       payload_sha256 AS sha, false AS flag
+FROM ({_MEDIA_FEATURES_SQL})
+UNION ALL
+SELECT 'frame' AS stage, doc_id, CAST(frame_idx AS BIGINT) AS i1,
+       CAST(0 AS BIGINT) AS i2, CAST(0 AS BIGINT) AS i3,
+       frame_sha256 AS sha, false AS flag
+FROM ({_FRAME_SAMPLE_SQL})
+UNION ALL
+SELECT 'resize' AS stage, doc_id, out_width AS i1, out_height AS i2,
+       CAST(0 AS BIGINT) AS i3, '' AS sha, scaled AS flag
+FROM ({_MEDIA_RESIZE_SQL})
 """,
     }
     # WAND must reproduce the exhaustive ranking exactly — same oracle

@@ -77,8 +77,15 @@ def run_bench() -> dict:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: Ray forwards WORKER stdout to the driver's
+        # stdout (e.g. "Failed to hash the schemas ... unhashable type:
+        # 'dict'" from parquet pandas-metadata schemas), which corrupted
+        # the one-JSON-line contract in the r3 driver artifact
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", log_to_driver=False)
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -279,15 +286,17 @@ def run_bench() -> dict:
         # sf-dir table pipelines
         import __ray_entry__ as entrymod
 
+        # module attributes, not queries(): some of these are standalone
+        # variants of consolidated driver rows (q_asof, q_media_features...)
         for name in ("q_dedup_exact", "q_ngram_jaccard", "q_minhash_pairs",
                      "q_dedup_clusters", "q_curation", "q_decontam", "q_knn",
                      "q_lsh_knn", "q_ivf_knn", "q_events_window",
                      "q_events_hopping", "q_sessions", "q_text_stats",
                      "q_keywords", "q_media_features", "q_frame_sample",
                      "q_pack", "q_repetition", "q_mixture", "q_split", "q_redact",
-                     "q_asof", "q_range_join"):
+                     "q_asof", "q_range_join", "q_temporal_join"):
             t0 = time.perf_counter()
-            out = entrymod.queries()[name](SF_DIR)
+            out = getattr(entrymod, name)(SF_DIR)
             if hasattr(out, "to_pandas"):
                 out.to_pandas() if not hasattr(out, "materialize") else out.materialize()
             results[f"{name}_s"] = round(time.perf_counter() - t0, 3)
@@ -355,12 +364,21 @@ def run_scaling(n_lo: int = 8, n_hi: int = 32) -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        i = sys.argv.index("--scaling")
-        if i + 1 < len(sys.argv) and "," in sys.argv[i + 1]:
-            lo, hi = (int(x) for x in sys.argv[i + 1].split(","))
-            print(json.dumps(run_scaling(lo, hi)))
+    # stdout contract: exactly ONE JSON line.  Everything the run itself
+    # prints (Ray logs, stray library output) goes to stderr; the real
+    # stdout fd is reserved for the final json.dumps.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        if "--scaling" in sys.argv:
+            i = sys.argv.index("--scaling")
+            if i + 1 < len(sys.argv) and "," in sys.argv[i + 1]:
+                lo, hi = (int(x) for x in sys.argv[i + 1].split(","))
+                out = run_scaling(lo, hi)
+            else:
+                out = run_scaling()
         else:
-            print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench()))
+            out = run_bench()
+    finally:
+        sys.stdout = real_stdout
+    print(json.dumps(out))

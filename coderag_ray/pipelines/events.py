@@ -249,33 +249,47 @@ def asof_join(events_ds, probe_type: str = ASOF_PROBE_TYPE,
     """
 
     def merge(g: pd.DataFrame) -> pa.Table:
-        eid = g["event_id"].to_numpy(dtype=np.int64)
-        u = g["user_id"].to_numpy(dtype=np.int64)
-        ts = g["ts_us"].to_numpy(dtype=np.int64)
-        val = g["value"].to_numpy(dtype=np.float64)
-        isp = g["is_probe"].to_numpy(dtype=np.int8)
-        order = np.lexsort((eid, isp, ts, u))
-        eid, u, ts, val, isp = eid[order], u[order], ts[order], val[order], isp[order]
-        n = len(eid)
-        pos = np.arange(n, dtype=np.int64)
-        seg_start = np.maximum.accumulate(
-            np.where(np.r_[True, u[1:] != u[:-1]], pos, 0))
-        last_ref = np.maximum.accumulate(np.where(isp == 0, pos, -1))
-        probe = isp == 1
-        m = last_ref[probe]
-        has = m >= seg_start[probe]
-        ms = np.where(has, m, 0)  # safe gather index
+        eid, u, ts, val, isp = _group_arrays(g)
+        a_eid, a_u, a_ts, a_val, ref_id, lag = _asof_sweep(eid, u, ts, val, isp)
         return pa.table({
-            "event_id": pa.array(eid[probe]),
-            "user_id": pa.array(u[probe]),
-            "ts_us": pa.array(ts[probe]),
-            "value": pa.array(val[probe]),
-            "ref_event_id": pa.array(np.where(has, eid[ms], -1)),
-            "lag_us": pa.array(np.where(has, ts[probe] - ts[ms], -1)),
+            "event_id": pa.array(a_eid),
+            "user_id": pa.array(a_u),
+            "ts_us": pa.array(a_ts),
+            "value": pa.array(a_val),
+            "ref_event_id": pa.array(ref_id),
+            "lag_us": pa.array(lag),
         })
 
     return _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets) \
         .map_groups(merge, batch_format="pandas")
+
+
+def _group_arrays(g: pd.DataFrame):
+    return (g["event_id"].to_numpy(dtype=np.int64),
+            g["user_id"].to_numpy(dtype=np.int64),
+            g["ts_us"].to_numpy(dtype=np.int64),
+            g["value"].to_numpy(dtype=np.float64),
+            g["is_probe"].to_numpy(dtype=np.int8))
+
+
+def _asof_sweep(eid, u, ts, val, isp):
+    """Vectorized as-of sweep over one bucket (see :func:`asof_join` for
+    the contract).  Probe rows come back in (user, ts, event_id) sorted
+    order; all outputs are typed numpy (empty-safe)."""
+    order = np.lexsort((eid, isp, ts, u))
+    eid, u, ts, val, isp = eid[order], u[order], ts[order], val[order], isp[order]
+    n = len(eid)
+    pos = np.arange(n, dtype=np.int64)
+    seg_start = np.maximum.accumulate(
+        np.where(np.r_[True, u[1:] != u[:-1]], pos, 0)) if n else pos
+    last_ref = np.maximum.accumulate(np.where(isp == 0, pos, -1)) if n else pos
+    probe = isp == 1
+    m = last_ref[probe]
+    has = m >= seg_start[probe]
+    ms = np.where(has, m, 0)  # safe gather index
+    return (eid[probe], u[probe], ts[probe], val[probe],
+            np.where(has, eid[ms], np.int64(-1)),
+            np.where(has, ts[probe] - ts[ms], np.int64(-1)))
 
 
 def range_join_agg(events_ds, probe_type: str = ASOF_PROBE_TYPE,
@@ -302,49 +316,85 @@ def range_join_agg(events_ds, probe_type: str = ASOF_PROBE_TYPE,
     win_us = np.int64(window_seconds) * 1_000_000
 
     def merge(g: pd.DataFrame) -> pa.Table:
-        eid = g["event_id"].to_numpy(dtype=np.int64)
-        u = g["user_id"].to_numpy(dtype=np.int64)
-        ts = g["ts_us"].to_numpy(dtype=np.int64)
-        val = g["value"].to_numpy(dtype=np.float64)
-        isp = g["is_probe"].to_numpy(dtype=np.int8)
-        pr, rf = isp == 1, isp == 0
-        pu, pt, pe = u[pr], ts[pr], eid[pr]
-        n_p, n_r = int(pr.sum()), int(rf.sum())
-        if n_p == 0:
-            return pa.table({
-                "event_id": pa.array([], type=pa.int64()),
-                "user_id": pa.array([], type=pa.int64()),
-                "ts_us": pa.array([], type=pa.int64()),
-                "n_ref": pa.array([], type=pa.int64()),
-                "sum_ref_value": pa.array([], type=pa.float64()),
-            })
-        au = np.concatenate([u[rf], pu, pu])
-        ats = np.concatenate([ts[rf], pt - win_us, pt])
-        kind = np.concatenate([np.ones(n_r, np.int8), np.zeros(2 * n_p, np.int8)])
-        order = np.lexsort((kind, ats, au))
-        inv = np.empty(len(order), dtype=np.int64)
-        inv[order] = np.arange(len(order), dtype=np.int64)
-        # per-marker rank into the ref-only SORTED stream (exact int64)
-        ref_mask = kind[order] == 1
-        gcum = np.cumsum(ref_mask)
-        ps, pe_pos = inv[n_r:n_r + n_p], inv[n_r + n_p:]
-        lo, hi = gcum[ps], gcum[pe_pos]
-        n_ref = (hi - lo).astype(np.int64)
-        # SEGMENTED window sums over the sorted ref-only stream
-        # (add.reduceat), not a difference of bucket-global prefix sums
-        # — error stays proportional to the window's own sum, never the
-        # bucket prefix.  NULL ref values sum as 0, matching SQL
-        # sum()'s NULL-skip (count uses the rows, like count(r.ts_us)).
-        w_val = np.concatenate([val[rf], np.zeros(2 * n_p)])
-        rv = np.nan_to_num(np.concatenate([w_val[order][ref_mask], [0.0]]))
-        seg = np.add.reduceat(rv, np.column_stack([lo, hi]).ravel())[::2]
-        sum_v = round6(np.where(n_ref > 0, seg, 0.0)) + 0.0  # −0.0 → 0.0
+        eid, u, ts, val, isp = _group_arrays(g)
+        pe, pu, pt, n_ref, sum_v = _range_sweep(eid, u, ts, val, isp, win_us)
         return pa.table({
-            "event_id": pa.array(pe),
-            "user_id": pa.array(pu),
-            "ts_us": pa.array(pt),
-            "n_ref": pa.array(n_ref),
-            "sum_ref_value": pa.array(sum_v),
+            "event_id": pa.array(pe, type=pa.int64()),
+            "user_id": pa.array(pu, type=pa.int64()),
+            "ts_us": pa.array(pt, type=pa.int64()),
+            "n_ref": pa.array(n_ref, type=pa.int64()),
+            "sum_ref_value": pa.array(sum_v, type=pa.float64()),
+        })
+
+    return _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets) \
+        .map_groups(merge, batch_format="pandas")
+
+
+def _range_sweep(eid, u, ts, val, isp, win_us):
+    """Vectorized marker-sweep for the range join over one bucket (see
+    :func:`range_join_agg`).  Probe rows come back in bucket-input
+    order; all outputs typed numpy (empty-safe)."""
+    pr, rf = isp == 1, isp == 0
+    pu, pt, pe = u[pr], ts[pr], eid[pr]
+    n_p, n_r = int(pr.sum()), int(rf.sum())
+    if n_p == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, np.zeros(0, dtype=np.float64)
+    au = np.concatenate([u[rf], pu, pu])
+    ats = np.concatenate([ts[rf], pt - win_us, pt])
+    kind = np.concatenate([np.ones(n_r, np.int8), np.zeros(2 * n_p, np.int8)])
+    order = np.lexsort((kind, ats, au))
+    inv = np.empty(len(order), dtype=np.int64)
+    inv[order] = np.arange(len(order), dtype=np.int64)
+    # per-marker rank into the ref-only SORTED stream (exact int64)
+    ref_mask = kind[order] == 1
+    gcum = np.cumsum(ref_mask)
+    ps, pe_pos = inv[n_r:n_r + n_p], inv[n_r + n_p:]
+    lo, hi = gcum[ps], gcum[pe_pos]
+    n_ref = (hi - lo).astype(np.int64)
+    # SEGMENTED window sums over the sorted ref-only stream
+    # (add.reduceat), not a difference of bucket-global prefix sums
+    # — error stays proportional to the window's own sum, never the
+    # bucket prefix.  NULL ref values sum as 0, matching SQL
+    # sum()'s NULL-skip (count uses the rows, like count(r.ts_us)).
+    w_val = np.concatenate([val[rf], np.zeros(2 * n_p)])
+    rv = np.nan_to_num(np.concatenate([w_val[order][ref_mask], [0.0]]))
+    seg = np.add.reduceat(rv, np.column_stack([lo, hi]).ravel())[::2]
+    sum_v = round6(np.where(n_ref > 0, seg, 0.0)) + 0.0  # −0.0 → 0.0
+    return pe, pu, pt, n_ref, sum_v
+
+
+def temporal_join(events_ds, probe_type: str = ASOF_PROBE_TYPE,
+                  ref_type: str = ASOF_REF_TYPE,
+                  window_seconds: int = RANGE_WINDOW_SECONDS,
+                  n_buckets: int = 64):
+    """As-of join + range aggregate in ONE exchange: for every *probe*
+    event, the same-user latest prior *reference* (:func:`asof_join`
+    semantics) AND the count/sum of references in the trailing window
+    (:func:`range_join_agg` semantics) — both sweeps run on the same
+    shuffled bucket, so the combined operator costs one shuffle instead
+    of two.  Probe event ids are unique, so aligning the two sweeps'
+    outputs is an argsort on ``event_id`` each.
+
+    → Dataset (event_id, user_id, ts_us, value, ref_event_id, lag_us,
+    n_ref, sum_ref_value).
+    """
+    win_us = np.int64(window_seconds) * 1_000_000
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        eid, u, ts, val, isp = _group_arrays(g)
+        a_eid, a_u, a_ts, a_val, ref_id, lag = _asof_sweep(eid, u, ts, val, isp)
+        r_eid, _, _, n_ref, sum_v = _range_sweep(eid, u, ts, val, isp, win_us)
+        oa, orr = np.argsort(a_eid, kind="stable"), np.argsort(r_eid, kind="stable")
+        return pa.table({
+            "event_id": pa.array(a_eid[oa], type=pa.int64()),
+            "user_id": pa.array(a_u[oa], type=pa.int64()),
+            "ts_us": pa.array(a_ts[oa], type=pa.int64()),
+            "value": pa.array(a_val[oa], type=pa.float64()),
+            "ref_event_id": pa.array(ref_id[oa], type=pa.int64()),
+            "lag_us": pa.array(lag[oa], type=pa.int64()),
+            "n_ref": pa.array(n_ref[orr], type=pa.int64()),
+            "sum_ref_value": pa.array(sum_v[orr], type=pa.float64()),
         })
 
     return _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets) \

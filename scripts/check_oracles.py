@@ -58,8 +58,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import ray
 
@@ -71,7 +77,10 @@ def main():
 
     import __ray_entry__ as entrymod
 
-    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    # full surface: the 50 driver-registered queries + the standalone
+    # variants of the consolidated rows (q_asof, q_media_features, ...)
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    sqls = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
@@ -81,6 +90,7 @@ def main():
             pass
 
     failed = []
+    records: dict[str, dict] = {}
     import time
     for name, fn in qs.items():
         if only and name not in only:
@@ -91,18 +101,32 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: ray raised {type(e).__name__}: {e}")
             failed.append(name)
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"ray:{type(e).__name__}"}
             continue
         t1 = time.perf_counter()
         if name not in sqls:
             print(f"ok   {name}: rows-only ({len(ray_df)} rows, {t1-t0:.2f}s)")
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "ray_rows": len(ray_df),
+                             "err": "no_oracle"}
             continue
         try:
             sql_df = con.execute(sqls[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             failed.append(name)
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"duckdb:{type(e).__name__}"}
             continue
         problems = compare(name, ray_df, sql_df)
+        ok = not problems
+        records[name] = {
+            "rows_match": len(ray_df) == len(sql_df), "schema_match":
+            sorted(ray_df.columns) == sorted(sql_df.columns),
+            "hash_match": ok, "ray_rows": len(ray_df),
+            "oracle_rows": len(sql_df), "err": None if ok else "; ".join(problems),
+        }
         if problems:
             print(f"FAIL {name} ({len(ray_df)} vs {len(sql_df)} rows):")
             for p in problems:
@@ -110,6 +134,12 @@ def main():
             failed.append(name)
         else:
             print(f"PASS {name}: {len(ray_df)} rows match ({t1-t0:.2f}s ray)")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_out}")
     print("\n" + ("ALL PASS" if not failed else f"FAILED: {failed}"))
     ray.shutdown()
     sys.exit(1 if failed else 0)

@@ -239,6 +239,28 @@ def test_range_join_null_ref_value_matches_sql_sum(ray_session):
     assert list(out.sum_ref_value) == [2.5, 2.5]
 
 
+def test_temporal_join_equals_asof_plus_range(ray_session):
+    """The single-exchange combined operator must equal the two
+    standalone operators joined on the (unique) probe event id."""
+    import ray.data
+
+    from coderag_ray.pipelines.events import asof_join, range_join_agg, temporal_join
+
+    W = 30
+    tbl = _synthetic_events(seed=17)
+    ds = lambda: ray.data.from_arrow(tbl)  # noqa: E731
+    combined = (temporal_join(ds(), window_seconds=W, n_buckets=4)
+                .to_pandas().set_index("event_id").sort_index())
+    a = asof_join(ds(), n_buckets=4).to_pandas().set_index("event_id").sort_index()
+    r = (range_join_agg(ds(), window_seconds=W, n_buckets=4)
+         .to_pandas().set_index("event_id").sort_index())
+    assert len(combined) == len(a) == len(r) and len(combined) > 50
+    for col in ("user_id", "ts_us", "value", "ref_event_id", "lag_us"):
+        assert (combined[col] == a[col]).all()
+    assert (combined["n_ref"] == r["n_ref"]).all()
+    assert (combined["sum_ref_value"] == r["sum_ref_value"]).all()
+
+
 def test_media_features_deterministic_fake(ray_session):
     from coderag_ray.pipelines.multimodal import MediaFeatureStage, decode_image
 
