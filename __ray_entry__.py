@@ -74,6 +74,18 @@ def _embeddings(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+
+def _table_rows(sf_dir: str, name: str = "documents") -> int:
+    """Row count straight from parquet footer metadata (no Ray pass) —
+    feeds config.auto_buckets for the bucketed entry queries."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    except Exception:
+        return 0
+
+
 def _index_for(sf_dir: str, cfg: IndexConfig) -> str:
     """Build (or resume — no-op when already built) the index for a corpus."""
     key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{cfg.tokenizer}|{cfg.num_partitions}".encode()).hexdigest()[:16]
@@ -119,13 +131,16 @@ def q_doc_stats(sf_dir: str):
     """Per-doc chunk aggregates — bucketed on hash(doc_id) (doc
     cardinality grows with the corpus; per-distinct-group declarative
     aggregation is the bucket_agg anti-pattern), vectorized pandas
-    aggregation inside each of the 64 groups."""
+    aggregation inside each of the auto_buckets(corpus) groups."""
+    from coderag_ray.config import auto_buckets
     from coderag_ray.functions.hashing import splitmix64
+
+    nb = auto_buckets(_table_rows(sf_dir), target_rows=1_000_000)
 
     def project(t: pa.Table) -> pa.Table:
         d = pc.cast(t["doc_id"], pa.int64())
         b = (splitmix64(d.to_numpy(zero_copy_only=False).astype(np.uint64))
-             % np.uint64(64)).astype(np.int32)
+             % np.uint64(nb)).astype(np.int32)
         return pa.table(
             {
                 "doc_id": d,
@@ -448,6 +463,7 @@ def q_keywords(sf_dir: str):
     rank = (score DESC, term ASC).  One doc-keyed groupby."""
     import pyarrow.parquet as pq
 
+    from coderag_ray.config import auto_buckets
     from coderag_ray.functions.hashing import splitmix64
 
     idx = _index_for(sf_dir, CFG_SIMPLE)
@@ -476,9 +492,11 @@ def q_keywords(sf_dir: str):
             }
         )
 
+    nb = auto_buckets(_table_rows(sf_dir), target_rows=500_000)
+
     def add_bucket(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column("__bucket", pa.array((splitmix64(d) % np.uint64(64)).astype(np.int32)))
+        return t.append_column("__bucket", pa.array((splitmix64(d) % np.uint64(nb)).astype(np.int32)))
 
     def topk_of_bucket(g):
         import pandas as pd
@@ -889,13 +907,16 @@ def q_simhash_dup(sf_dir: str):
     self-join; ``all_equal_ok`` is engine-evaluated and pinned true."""
     import zlib
 
+    from coderag_ray.config import auto_buckets
     from coderag_ray.functions.hashing import batch_sha256
     from coderag_ray.pipelines.dedup import simhash_batch
+
+    nb = auto_buckets(_table_rows(sf_dir), target_rows=2_000_000)
 
     def project(t: pa.Table) -> pa.Table:
         out = simhash_batch(t)
         shas = batch_sha256(t["text"])
-        b = np.array([zlib.crc32(x.encode()) & 0x3F for x in shas.to_pylist()],
+        b = np.array([zlib.crc32(x.encode()) % nb for x in shas.to_pylist()],
                      dtype=np.int32)
         return (out.append_column("content_sha256", shas)
                    .append_column("__bucket", pa.array(b)))

@@ -43,6 +43,37 @@ def auto_concurrency(lo: int = 2, cap: int | None = None) -> tuple[int, int]:
     return (lo, max(lo, n))
 
 
+def auto_buckets(rows_or_ds, target_rows: int = 2_000_000,
+                 lo: int = 64, hi: int = 65_536) -> int:
+    """Bucket count for bucketed group-bys, derived from input size the
+    way :func:`auto_concurrency` tracks cluster size (VERDICT r3 item 3
+    — a fixed 64/256 is a scale constant that stops holding at 100×).
+
+    Each bucket becomes ONE in-memory pandas group under ``map_groups``,
+    so buckets ≈ ``ceil(rows / target_rows)``, rounded up to a power of
+    two and clamped to ``[lo, hi]``.  ``target_rows`` is per-operator:
+    it bounds the rows a single group may hold (narrow numeric rows
+    tolerate millions; text-carrying rows want 10⁵).
+
+    Accepts a row count or a Dataset.  ``Dataset.count()`` is
+    metadata-cheap for freshly-read parquet; for DERIVED datasets it
+    executes the upstream, so callers holding a transformed dataset
+    should pass the pre-transform row count instead.  Unknown size →
+    ``lo`` (the historical constant at test scale).
+    """
+    if hasattr(rows_or_ds, "count"):
+        try:
+            n = int(rows_or_ds.count())
+        except Exception:
+            n = 0
+    else:
+        n = int(rows_or_ds or 0)
+    if n <= 0:
+        return lo
+    need = -(-n // target_rows)  # ceil
+    return max(lo, min(hi, 1 << max(0, need - 1).bit_length()))
+
+
 @dataclass(frozen=True)
 class IndexConfig:
     """Build-time knobs for the distributed index.

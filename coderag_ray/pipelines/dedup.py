@@ -98,16 +98,19 @@ def exact_dedup(docs_ds):
     n_copies > 1 are duplicates; keeper = min doc_id (frozen policy).
 
     Distinct-sha cardinality grows with the corpus, so the aggregation
-    is BUCKETED (hash sha → 64 groups, one vectorized pandas groupby
-    per bucket) rather than per-sha declarative — the bucket_agg
-    pattern; exact integer results either way."""
+    is BUCKETED (hash sha → auto_buckets(input) groups, one vectorized
+    pandas groupby per bucket) rather than per-sha declarative — the
+    bucket_agg pattern; exact integer results either way."""
     import zlib
 
+    from coderag_ray.config import auto_buckets
     from coderag_ray.functions.hashing import batch_sha256
+
+    nb = auto_buckets(docs_ds, target_rows=2_000_000)  # narrow sha rows
 
     def add_sha(t: pa.Table) -> pa.Table:
         shas = batch_sha256(t["text"])
-        b = np.array([zlib.crc32(s.encode()) & 0x3F for s in shas.to_pylist()],
+        b = np.array([zlib.crc32(s.encode()) % nb for s in shas.to_pylist()],
                      dtype=np.int32)
         return pa.table(
             {
@@ -200,6 +203,17 @@ def _ngram_pair_scores(docs_ds, n: int = 3,
     :func:`ngram_jaccard_pairs` and :func:`near_dup_clusters`."""
     import logging
 
+    from coderag_ray.config import auto_buckets
+
+    try:
+        n_rows = int(docs_ds.count())
+    except Exception:
+        n_rows = 0
+    # shingle groups hold ~dozens of text rows per doc → small target;
+    # pair-merge groups hold duplicate-rate-sized narrow rows
+    nb_shingle = auto_buckets(n_rows, target_rows=50_000)
+    nb_pair = auto_buckets(n_rows, target_rows=200_000)
+
     shingles = docs_ds.map_batches(lambda t: shingle_batch(t, n), batch_format="pyarrow")
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -208,7 +222,7 @@ def _ngram_pair_scores(docs_ds, n: int = 3,
         import zlib
 
         b = np.array(
-            [zlib.crc32(s.encode("utf-8")) & 0x3F for s in t["shingle"].to_pylist()],
+            [zlib.crc32(s.encode("utf-8")) % nb_shingle for s in t["shingle"].to_pylist()],
             dtype=np.int32,
         )
         return t.append_column("bucket", pa.array(b))
@@ -274,7 +288,7 @@ def _ngram_pair_scores(docs_ds, n: int = 3,
     # bucket — the bucket_agg pattern generalized to a two-column key
     def add_pair_bucket(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (splitmix64(a) % np.uint64(64)).astype(np.int32)
+        b = (splitmix64(a) % np.uint64(nb_pair)).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -454,7 +468,10 @@ def clusters_from_edges_ds(edges_ds, edge_budget: int = 5_000_000) -> pa.Table:
             "doc_a": pa.array(edges["doc_a"].to_numpy(dtype=np.int64), type=pa.int64()),
             "doc_b": pa.array(edges["doc_b"].to_numpy(dtype=np.int64), type=pa.int64()),
         }))
-    stars = _cc_star_rounds(edges_ds)
+    from coderag_ray.config import auto_buckets
+
+    stars = _cc_star_rounds(
+        edges_ds, num_buckets=auto_buckets(n_edges, target_rows=1_000_000, lo=256))
 
     def to_labels(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -703,15 +720,25 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
 
     import ray
 
+    from coderag_ray.config import auto_buckets
     from coderag_ray.functions.hashing import splitmix64
+
+    try:
+        n_rows = int(docs_ds.count())
+    except Exception:
+        n_rows = 0
+    # band rows = docs × MINHASH_BANDS narrow rows; join rounds hold
+    # candidate-scale rows — all derived, never fixed (VERDICT r3 item 3)
+    nb_band = auto_buckets(n_rows * MINHASH_BANDS, target_rows=2_000_000, lo=256)
+    nb_join = auto_buckets(n_rows, target_rows=500_000)
 
     def add_band_bucket(t: pa.Table) -> pa.Table:
         # distinct (band_id, band_hash) cardinality grows with the
-        # corpus → hash band buckets into 256 coarse groups so pair
+        # corpus → hash band buckets into nb_band coarse groups so pair
         # expansion pays Python overhead per COARSE group only (the
         # bucket_agg lesson), with vectorized run detection inside
         h = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (splitmix64(h) % np.uint64(256)).astype(np.int32)
+        b = (splitmix64(h) % np.uint64(nb_band)).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
     from coderag_ray.config import auto_concurrency
@@ -759,7 +786,7 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
 
     def add_bucket_a(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column("__bucket", pa.array((splitmix64(a) % np.uint64(64)).astype(np.int32)))
+        return t.append_column("__bucket", pa.array((splitmix64(a) % np.uint64(nb_join)).astype(np.int32)))
 
     def dedup_bucket(g: pd.DataFrame) -> pa.Table:
         return _from_pandas(g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]])
@@ -820,7 +847,7 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
 
     def add_bucket_docid(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column("__bucket", pa.array((splitmix64(d) % np.uint64(64)).astype(np.int32)))
+        return t.append_column("__bucket", pa.array((splitmix64(d) % np.uint64(nb_join)).astype(np.int32)))
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         """Doc-keyed join round: give each pair side its doc's hash set."""

