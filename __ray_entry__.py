@@ -56,22 +56,35 @@ KNN_K = 5
 EMB_DUP_THRESHOLD = 0.25
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns: tuple[str, ...] = ("doc_id", "text")):
+    """documents reader with SCAN-LEVEL column pruning (VERDICT r3 item
+    5): only the columns a pipeline consumes leave storage — the default
+    covers the text pipelines; sampling/mixture callers override."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=list(columns))
 
 
-def _events(sf_dir: str):
+def _events(sf_dir: str, columns: tuple[str, ...]):
+    """events reader, pruned at the scan — ``props`` (the widest column)
+    is read ONLY by props_stats."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=list(columns))
 
 
-def _embeddings(sf_dir: str):
+_EV_WINDOW = ("event_type", "ts", "value")
+_EV_SESSION = ("event_id", "user_id", "ts")
+_EV_JOIN = ("event_id", "user_id", "ts", "event_type", "value")
+
+
+def _embeddings(sf_dir: str, columns: tuple[str, ...] = ("vec_id", "embedding")):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=list(columns))
 
 
 
@@ -678,7 +691,7 @@ def q_langid(sf_dir: str):
 def q_hash_sample(sf_dir: str):
     from coderag_ray.pipelines.sampling import hash_sample
 
-    return hash_sample(_docs(sf_dir), rate=10)
+    return hash_sample(_docs(sf_dir, ("doc_id",)), rate=10)
 
 
 def q_split(sf_dir: str):
@@ -687,7 +700,7 @@ def q_split(sf_dir: str):
     same HUGEINT Knuth-hash arithmetic as q_hash_sample."""
     from coderag_ray.pipelines.sampling import train_val_test_split
 
-    return train_val_test_split(_docs(sf_dir), val_pct=10, test_pct=10)
+    return train_val_test_split(_docs(sf_dir, ("doc_id",)), val_pct=10, test_pct=10)
 
 
 def q_pack(sf_dir: str):
@@ -706,13 +719,13 @@ def q_mixture(sf_dir: str):
     floor rates)."""
     from coderag_ray.pipelines.sampling import mixture_sample
 
-    return mixture_sample(_docs(sf_dir), group_col="source")
+    return mixture_sample(_docs(sf_dir, ("doc_id", "source")), group_col="source")
 
 
 def q_lang_quota(sf_dir: str):
     from coderag_ray.pipelines.sampling import lang_quota_sample
 
-    return lang_quota_sample(_docs(sf_dir), quota=20)
+    return lang_quota_sample(_docs(sf_dir), quota=20)  # LangIdStage reads text
 
 
 def q_redact(sf_dir: str):
@@ -789,7 +802,7 @@ def q_simhash(sf_dir: str):
 def q_embdup(sf_dir: str):
     from coderag_ray.pipelines.dedup import embedding_dup_pairs
 
-    return embedding_dup_pairs(_embeddings(sf_dir), threshold=EMB_DUP_THRESHOLD)
+    return embedding_dup_pairs(_embeddings(sf_dir, ("vec_id", "embedding", "label")), threshold=EMB_DUP_THRESHOLD)
 
 
 def q_knn(sf_dir: str):
@@ -945,25 +958,25 @@ def q_simhash_dup(sf_dir: str):
 def q_events_window(sf_dir: str):
     from coderag_ray.pipelines.events import tumbling_window
 
-    return tumbling_window(_events(sf_dir))
+    return tumbling_window(_events(sf_dir, _EV_WINDOW))
 
 
 def q_events_hopping(sf_dir: str):
     from coderag_ray.pipelines.events import hopping_window
 
-    return hopping_window(_events(sf_dir), width_seconds=3600, hop_seconds=1800)
+    return hopping_window(_events(sf_dir, _EV_WINDOW), width_seconds=3600, hop_seconds=1800)
 
 
 def q_props_stats(sf_dir: str):
     from coderag_ray.pipelines.events import props_stats
 
-    return props_stats(_events(sf_dir))
+    return props_stats(_events(sf_dir, ("event_type", "props")))
 
 
 def q_sessions(sf_dir: str):
     from coderag_ray.pipelines.events import session_windows
 
-    return session_windows(_events(sf_dir))
+    return session_windows(_events(sf_dir, _EV_SESSION))
 
 
 def q_asof(sf_dir: str):
@@ -972,7 +985,7 @@ def q_asof(sf_dir: str):
     IGNORE-NULLS last_value window with the identical sort contract."""
     from coderag_ray.pipelines.events import asof_join
 
-    return asof_join(_events(sf_dir))
+    return asof_join(_events(sf_dir, _EV_JOIN))
 
 
 def q_range_join(sf_dir: str):
@@ -981,7 +994,7 @@ def q_range_join(sf_dir: str):
     oracle: DuckDB non-equi LEFT JOIN with the same boundary rules."""
     from coderag_ray.pipelines.events import range_join_agg
 
-    return range_join_agg(_events(sf_dir))
+    return range_join_agg(_events(sf_dir, _EV_JOIN))
 
 
 def q_temporal_join(sf_dir: str):
@@ -997,7 +1010,7 @@ def q_temporal_join(sf_dir: str):
     without dropping either operator from the checked surface."""
     from coderag_ray.pipelines.events import temporal_join
 
-    return temporal_join(_events(sf_dir))
+    return temporal_join(_events(sf_dir, _EV_JOIN))
 
 
 def q_media_features(sf_dir: str):

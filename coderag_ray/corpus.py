@@ -127,7 +127,9 @@ def corpus_from_documents(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # scan-level pruning: n_chars is never consumed by the build
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
 
     def adapt(t: pa.Table) -> pa.Table:
         did = t["doc_id"]

@@ -34,6 +34,13 @@ def curate(docs_ds, *, min_words: int = 10, max_stopword_ratio: float = 0.7,
     from coderag_ray.pipelines.text_analysis import quality_batch
     from coderag_ray.functions.hashing import batch_sha256
 
+    from coderag_ray.config import auto_buckets
+
+    try:
+        nb = auto_buckets(docs_ds.count(), target_rows=2_000_000)
+    except Exception:
+        nb = 64
+
     bench = docs_ds.map_batches(
         lambda t: t.filter(pc.less(pc.cast(t["doc_id"], pa.int64()), benchmark_max_id)),
         batch_format="pyarrow",
@@ -55,7 +62,7 @@ def curate(docs_ds, *, min_words: int = 10, max_stopword_ratio: float = 0.7,
         # bucket on the sha: distinct-sha cardinality grows with the
         # corpus, so the keeper resolution groups by HASH BUCKET and
         # resolves all sha groups inside vectorized (bucket_agg lesson)
-        b = np.array([zlib.crc32(s.encode()) & 0x3F for s in shas.to_pylist()],
+        b = np.array([zlib.crc32(s.encode()) % nb for s in shas.to_pylist()],
                      dtype=np.int32)
         return pa.table(
             {
