@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 from coderag_ray.config import IndexConfig
 from coderag_ray.functions.rounding import round6
+from coderag_ray.functions.tokenizer import ascii_ws_words
 from coderag_ray.corpus import corpus_from_documents
 from coderag_ray.index.build import build_index
 from coderag_ray.stages.chunk import make_chunker
@@ -556,7 +557,7 @@ def q_chunk_ast(sf_dir: str):
     def per_doc(t: pa.Table) -> pa.Table:
         ids, n_chunks, n_funcs, n_chars, shas = [], [], [], [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            words = [w for w in text.split() if w][:50]
+            words = ascii_ws_words(text)[:50]
             src = "\n".join(f"def f{i}():\n    return {len(w)}"
                             for i, w in enumerate(words))
             if words:
@@ -598,7 +599,7 @@ def q_chunk_ast_js(sf_dir: str):
     def per_doc(t: pa.Table) -> pa.Table:
         ids, n_chunks, n_funcs, n_chars, shas = [], [], [], [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            words = [w for w in text.split() if w][:50]
+            words = ascii_ws_words(text)[:50]
             src = "\n".join(f"function f{i}() {{\n  return {len(w)};\n}}"
                             for i, w in enumerate(words))
             if words:
@@ -636,7 +637,7 @@ def q_chunk_ast_go(sf_dir: str):
     def per_doc(t: pa.Table) -> pa.Table:
         ids, n_chunks, n_funcs, n_chars, shas = [], [], [], [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            words = [w for w in text.split() if w][:50]
+            words = ascii_ws_words(text)[:50]
             src = "\n".join(f"func f{i}() int {{\n  return {len(w)}\n}}"
                             for i, w in enumerate(words))
             if words:

@@ -231,3 +231,17 @@ def batch_term_counts(
     out_codes = uniq % n_vocab
     out_terms = vocab.take(pa.array(out_codes))
     return out_rows, out_terms, counts.astype(np.int64), token_count
+
+
+# ASCII whitespace splitter — matches RE2/DuckDB '\\s+' (ASCII-only),
+# unlike str.split() which also splits on U+00A0/U+2028/...: any oracle
+# that mirrors a Python split with regexp_split_to_array must use THIS
+# (ADVICE r3 item 4)
+import re as _re
+
+_ASCII_WS = _re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ascii_ws_words(text: str) -> list[str]:
+    """Non-empty tokens of ``text`` split on ASCII whitespace only."""
+    return [w for w in _ASCII_WS.split(text) if w]

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 
 from coderag_ray.functions.rounding import round6
+from coderag_ray.functions.tokenizer import ascii_ws_words
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -61,7 +62,7 @@ def _from_pandas(df: pd.DataFrame) -> pa.Table:
 def _word_shingles(text: str, n: int = 3) -> set[str]:
     """Distinct word n-grams of the lowercased, ws-split text (frozen spec,
     mirrored in the SQL oracle)."""
-    words = [w for w in text.lower().split() if w]
+    words = ascii_ws_words(text.lower())
     if len(words) < n:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
@@ -548,7 +549,7 @@ def doc_shingle_hashes(text: str, n: int) -> np.ndarray:
     short-doc behavior)."""
     from coderag_ray.functions.hashing import splitmix64
 
-    ws = text.lower().split()
+    ws = ascii_ws_words(text.lower())
     m = len(ws)
     if m == 0:
         return np.empty(0, dtype=np.uint64)
@@ -912,7 +913,7 @@ def simhash_batch(t: pa.Table) -> pa.Table:
     ids, sims = [], []
     shifts = np.arange(64, dtype=np.uint64)
     for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        tf = Counter(w for w in text.lower().split() if w)
+        tf = Counter(ascii_ws_words(text.lower()))
         if tf:
             hs = np.array([_hash64(w) for w in tf], dtype=np.uint64)
             f = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))

@@ -78,8 +78,14 @@ def build_vector_ann(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> in
 
     from coderag_ray.pipelines.similarity import _bucket_of, _planes, derive_lsh_planes
 
+    from coderag_ray.pipelines.similarity import (
+        swap_dir_crash_safe, sweep_stale_staging)
+
     reader = IndexReader(index_dir)
     final_ann_dir = os.path.join(index_dir, ANN_DIRNAME)
+    # orphaned staging dirs from crashed builds carry OTHER pids —
+    # sweep them before staging anew (ADVICE r3)
+    sweep_stale_staging(index_dir, f"_tmp_{ANN_DIRNAME}_")
     ann_dir = os.path.join(index_dir, f"_tmp_{ANN_DIRNAME}_{os.getpid()}")
     shutil.rmtree(ann_dir, ignore_errors=True)
     os.makedirs(ann_dir)
@@ -140,9 +146,7 @@ def build_vector_ann(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> in
     bdirs = [os.path.join(ann_dir, d) for d in os.listdir(ann_dir)
              if d.startswith("bucket=")]
     ray.get([compact_bucket.remote(b) for b in bdirs])
-    if os.path.isdir(final_ann_dir):
-        shutil.rmtree(final_ann_dir)
-    os.replace(ann_dir, final_ann_dir)
+    swap_dir_crash_safe(ann_dir, final_ann_dir)
     return n
 
 

@@ -210,15 +210,49 @@ def _write_bucketed(ds, index_dir: str, extra_files: dict[str, bytes] | None = N
     import os
     import shutil
 
+    sweep_stale_staging(os.path.dirname(index_dir.rstrip("/")) or ".",
+                        os.path.basename(index_dir.rstrip("/")) + "._tmp")
     tmp = index_dir.rstrip("/") + f"._tmp{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp, partition_cols=["bucket"])
     for name, payload in (extra_files or {}).items():
         with open(os.path.join(tmp, name), "wb") as f:
             f.write(payload)
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir)
-    os.replace(tmp, index_dir)
+    swap_dir_crash_safe(tmp, index_dir)
+
+
+def swap_dir_crash_safe(tmp: str, final: str) -> None:
+    """Promote a fully-built staging dir over the live layout such that
+    a crash at ANY point leaves a usable layout on disk (ADVICE r3: a
+    plain rmtree(final)+replace(tmp) has a window with neither): rename
+    the live dir aside, promote staging, then delete the old copy."""
+    import os
+    import shutil
+
+    bak = final.rstrip("/") + ".bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    if os.path.isdir(final):
+        os.replace(final, bak)
+    os.replace(tmp, final)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def sweep_stale_staging(parent: str, prefix: str) -> None:
+    """Remove orphaned staging dirs from crashed builds (their names
+    embed the builder's pid, so the current build's own rmtree never
+    targets them)."""
+    import os
+    import shutil
+
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        # stale ``*.bak`` from a crash mid-swap is reclaimed by the next
+        # successful swap_dir_crash_safe — only staging dirs swept here
+        if name.startswith(prefix):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
 def _probe_buckets(Qn: np.ndarray, multiprobe: int,

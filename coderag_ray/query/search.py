@@ -362,6 +362,11 @@ def search(
 
 CHAMPION_C = 256        # first-rung impact-ordered prefix length per term
 CHAMPION_LADDER = (1, 16)  # C multipliers tried before the exhaustive fallback
+# LRU bound on cached per-term champion prefixes (~64 KB per hot term at
+# C_MAX=4096): a long-lived query server with a wide vocabulary must not
+# accumulate unbounded memory (ADVICE r3 item 5) — same discipline as
+# the reader's posting LRU
+CHAMPION_CACHE_TERMS = 1024
 
 
 def _champion_select(compact, tokens, recs, k):
@@ -394,7 +399,9 @@ def _champion_select(compact, tokens, recs, k):
     bitwise by the champion-vs-exhaustive regression tests."""
     champs = getattr(compact, "_champions", None)
     if champs is None:
-        champs = compact._champions = {}
+        from collections import OrderedDict
+
+        champs = compact._champions = OrderedDict()  # tok → {"top", "rungs"}
     C_MAX = CHAMPION_C * CHAMPION_LADDER[-1]
     prev_kth = None
     for mult in CHAMPION_LADDER:
@@ -410,15 +417,22 @@ def _champion_select(compact, tokens, recs, k):
                 cand_parts.append(ords)
                 continue
             complete = False
-            entry = champs.get((tok, C))
+            ent = champs.get(tok)
+            if ent is None:
+                ent = champs[tok] = {"top": None, "rungs": {}}
+                if len(champs) > CHAMPION_CACHE_TERMS:
+                    champs.popitem(last=False)  # LRU eviction
+            else:
+                champs.move_to_end(tok)
+            entry = ent["rungs"].get(C)
             if entry is None:
                 if len(ords) > C_MAX:
-                    top = champs.get(tok)
+                    top = ent["top"]
                     if top is None:  # the term's single O(n) pass
                         part = np.argpartition(-imps, C_MAX)
-                        top = champs[tok] = (ords[part[:C_MAX]],
-                                             imps[part[:C_MAX]],
-                                             float(imps[part[C_MAX]]))
+                        top = ent["top"] = (ords[part[:C_MAX]],
+                                            imps[part[:C_MAX]],
+                                            float(imps[part[C_MAX]]))
                     t_ords, t_imps, t_bound = top
                     if C >= C_MAX:
                         entry = (t_ords, t_bound)
@@ -428,7 +442,7 @@ def _champion_select(compact, tokens, recs, k):
                 else:  # C < len(ords) ≤ C_MAX: direct cost is O(C_MAX)
                     part = np.argpartition(-imps, C)
                     entry = (ords[part[:C]], float(imps[part[C]]))
-                champs[(tok, C)] = entry
+                ent["rungs"][C] = entry
             cand_parts.append(entry[0])
             bound += entry[1]
         if not cand_parts:

@@ -54,6 +54,7 @@ class DirectoryWatcher:
         self._snapshot = self._take_snapshot()
         self._pending: dict[str, float] = {}  # rel path → last-change time
         self.refreshes = 0  # incremental builds triggered (observable)
+        self._consecutive_failures = 0  # failed refreshes since last success
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
 
@@ -94,7 +95,21 @@ class DirectoryWatcher:
         try:
             self._refresh()
         except Exception:
-            return []  # keep `settled` pending — retried next poll
+            # keep `settled` pending (retried next poll) but NEVER
+            # silently: log each failure and back off exponentially
+            # after repeats so a persistently broken build (bad config,
+            # disk full) is observable instead of a hot retry loop
+            import logging
+
+            self._consecutive_failures += 1
+            logging.getLogger(__name__).warning(
+                "watch refresh failed (%d consecutive)",
+                self._consecutive_failures, exc_info=True)
+            backoff = min(2.0 ** self._consecutive_failures, 60.0)
+            for p in settled:
+                self._pending[p] = now + backoff - self.debounce_s
+            return []
+        self._consecutive_failures = 0
         for p in settled:
             self._pending.pop(p, None)
         return settled

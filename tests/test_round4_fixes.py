@@ -25,6 +25,22 @@ def test_auto_buckets_grows_with_input():
     assert auto_buckets(10**8, target_rows=100_000) == 1024
 
 
+def test_ascii_ws_split_matches_re2_not_unicode():
+    """str.split() splits on U+00A0/U+2028 etc. while the DuckDB
+    oracles split on RE2 '\\s+' (ASCII-only) — the engine must side
+    with the oracle (ADVICE r3 item 4)."""
+    from coderag_ray.functions.tokenizer import ascii_ws_words
+
+    s = "alpha\u00a0beta gamma\u2028delta"
+    assert s.split() == ["alpha", "beta", "gamma", "delta"]  # the trap
+    assert ascii_ws_words(s) == ["alpha\u00a0beta", "gamma\u2028delta"]
+    assert ascii_ws_words(" a\t b\nc ") == ["a", "b", "c"]
+    # shingles of a non-ASCII-whitespace doc now match the SQL side
+    from coderag_ray.pipelines.dedup import _word_shingles
+
+    assert _word_shingles("x\u00a0y z", n=1) == {"x\u00a0y", "z"}
+
+
 def test_auto_buckets_accepts_dataset(ray_session):
     import ray.data
 
@@ -44,3 +60,25 @@ def test_driver_registry_is_exactly_50_and_extras_disjoint():
     # every oracle key corresponds to a registered query
     assert set(entrymod.oracle_sql()) <= set(qs)
     assert set(entrymod.extra_oracle_sql()) <= set(extras)
+
+def test_champion_cache_is_bounded():
+    """ADVICE r3 item 5: a wide query vocabulary must not grow the
+    per-term champion cache without bound (LRU-evicted)."""
+    import types
+
+    from coderag_ray.query import search as sm
+
+    compact = types.SimpleNamespace(
+        doc_ids=np.arange(10_000, dtype=np.int64),
+        chunk_ids=np.zeros(10_000, dtype=np.int64))
+    rng = np.random.default_rng(0)
+    n_terms = sm.CHAMPION_CACHE_TERMS + 50
+    for i in range(n_terms):
+        tok = f"t{i}"
+        ords = np.arange(300, dtype=np.int64)  # > CHAMPION_C → cached
+        imps = rng.random(300)
+        sm._champion_select(compact, [tok], [(tok, (ords, imps))], 1)
+    assert len(compact._champions) <= sm.CHAMPION_CACHE_TERMS
+    # most-recent terms survive, oldest evicted
+    assert f"t{n_terms - 1}" in compact._champions
+    assert "t0" not in compact._champions

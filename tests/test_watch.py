@@ -122,6 +122,10 @@ def test_watcher_failed_refresh_keeps_pending(ray_session, tmp_path):
     w._refresh = failing
     assert w.poll() == []          # failed → change stays pending
     assert boom["n"] == 1
+    assert w._consecutive_failures == 1
     w._refresh = orig
-    assert w.poll() == ["a.py"]    # retried and succeeds
+    assert w.poll() == []          # inside the 2 s failure backoff
+    clock.t += 2.0                 # past the backoff → retried
+    assert w.poll() == ["a.py"]
+    assert w._consecutive_failures == 0
     assert search(idx, "retriedSymbol", 5, with_doc_columns=False).num_rows > 0
