@@ -277,7 +277,36 @@ class IndexReader:
             part_offsets=offsets,
             postings=postings,
         )
+        self._preseed_champions(postings)
         return True
+
+    def _preseed_champions(self, postings) -> None:
+        """Eagerly build the hot-term champion prefixes at preload time
+        (VERDICT r3 item 8): the one-time O(n) per-term argpartition
+        otherwise lands on the first QUERY touching the term — it was
+        ~70% of cold-tail latency.  Preload is the warm-up phase of
+        every serving shape (sharded shards, batch-scorer actors, the
+        single reader), so moving the cost here makes cold p95 ≈ warm
+        p95 without taxing the build headline the way persisting
+        champion files into the layout would (and without a stale-
+        champions-vs-index consistency surface).  The computation is
+        byte-identical to the lazy path in ``query.search``; lazy
+        per-term fill remains for terms beyond the seed cap."""
+        from collections import OrderedDict
+
+        from coderag_ray.query.search import (
+            CHAMPION_C, CHAMPION_CACHE_TERMS, CHAMPION_LADDER)
+
+        c_max = CHAMPION_C * CHAMPION_LADDER[-1]
+        hot = [(t, pl) for t, pl in postings.items() if len(pl[0]) > c_max]
+        hot.sort(key=lambda kv: len(kv[1][0]), reverse=True)
+        champs = OrderedDict()
+        for t, (ords, imps) in hot[:CHAMPION_CACHE_TERMS]:
+            part = np.argpartition(-imps, c_max)
+            champs[t] = {"top": (ords[part[:c_max]], imps[part[:c_max]],
+                                 float(imps[part[c_max]])),
+                         "rungs": {}}
+        self._compact._champions = champs
 
     def partition_magnitudes(self, part_id: int) -> np.ndarray:
         """Per-chunk TF-IDF magnitudes (cosine mode); built by

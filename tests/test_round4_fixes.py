@@ -82,3 +82,48 @@ def test_champion_cache_is_bounded():
     # most-recent terms survive, oldest evicted
     assert f"t{n_terms - 1}" in compact._champions
     assert "t0" not in compact._champions
+
+def test_champion_preseed_at_preload_matches_lazy(ray_session, tmp_path):
+    """ensure_preloaded pre-builds hot-term champion prefixes (cold p95
+    fix): the seeded entries must be byte-identical to the ones the
+    lazy query path would compute, and search results must be unchanged."""
+    import ray.data
+
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.corpus import make_corpus
+    from coderag_ray.index.build import build_index
+    from coderag_ray.index.reader import IndexReader
+    from coderag_ray.query import search as sm
+
+    corpus = make_corpus(n_docs=400, seed=7)
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(corpus), idx, IndexConfig(num_partitions=3))
+
+    old_c, old_ladder = sm.CHAMPION_C, sm.CHAMPION_LADDER
+    sm.CHAMPION_C, sm.CHAMPION_LADDER = 8, (1, 4)  # make terms "hot" at this scale
+    try:
+        reader = IndexReader(idx)
+        assert reader.ensure_preloaded()
+        compact = reader.compact()
+        seeded = compact._champions
+        c_max = sm.CHAMPION_C * sm.CHAMPION_LADDER[-1]
+        hot_terms = [t for t, (o, _) in compact.postings.items() if len(o) > c_max]
+        assert hot_terms and set(seeded) == set(hot_terms[: sm.CHAMPION_CACHE_TERMS]) \
+            or set(seeded) <= set(hot_terms)
+        # byte-identical to the lazy computation
+        for t in list(seeded)[:5]:
+            ords, imps = compact.postings[t]
+            part = np.argpartition(-imps, c_max)
+            top = seeded[t]["top"]
+            assert (np.sort(top[0]) == np.sort(ords[part[:c_max]])).all()
+            assert top[2] == float(imps[part[c_max]])
+        # a fresh reader without preseed gives identical search results
+        r2 = IndexReader(idx)
+        assert r2.ensure_preloaded()
+        r2.compact()._champions.clear()
+        for q in ("self return function", "user data value", "the a of"):
+            a = sm.search(reader, q, 10, with_doc_columns=False)
+            b = sm.search(r2, q, 10, with_doc_columns=False)
+            assert a.equals(b), q
+    finally:
+        sm.CHAMPION_C, sm.CHAMPION_LADDER = old_c, old_ladder
