@@ -31,22 +31,29 @@ def built(ray_session, tmp_path_factory):
 
 
 def test_wand_equals_exhaustive(built):
+    # use_wand on a resident shard routes through the compact champion
+    # path; the DISK traversal is what needs parity coverage, so the
+    # wand side runs on a preload="never" reader
     reader = IndexReader(built)
+    cold = IndexReader(built, preload="never")
     sem = ["rank", "doc_id", "chunk_id", "score", "matched_terms"]
     for q in QUERIES:
         for k in (1, 3, 10, 100):
             a = search(reader, q, k, with_doc_columns=False).select(sem)
-            b = search(reader, q, k, with_doc_columns=False, use_wand=True).select(sem)
+            b = search(cold, q, k, with_doc_columns=False, use_wand=True).select(sem)
+            c = search(reader, q, k, with_doc_columns=False, use_wand=True).select(sem)
             assert a.equals(b), f"q={q!r} k={k}"
+            assert a.equals(c), f"compact-routed wand q={q!r} k={k}"
 
 
 def test_wand_min_score_equals_exhaustive(built):
     reader = IndexReader(built)
+    cold = IndexReader(built, preload="never")
     sem = ["rank", "doc_id", "chunk_id", "score"]
     for ms in (0.5, 2.0, 5.0):
         a = search(reader, "self return function", 20,
                    min_score=ms, with_doc_columns=False).select(sem)
-        b = search(reader, "self return function", 20,
+        b = search(cold, "self return function", 20,
                    min_score=ms, with_doc_columns=False, use_wand=True).select(sem)
         assert a.equals(b), ms
 
@@ -67,3 +74,43 @@ def test_wand_skips_work_on_selective_query(built):
     assert total_matching > 0
     # hot terms match nearly every chunk; with k=3 WAND should prune hard
     assert total_scored < total_matching * 0.8, (total_scored, total_matching)
+
+
+def test_blockmax_equals_daat_wand_per_partition(built):
+    """The vectorized block-at-a-time scorer must return the same
+    (ordinals, scores, matched) as the DAAT reference on every query ×
+    partition × k."""
+    from coderag_ray.query.wand import blockmax_topk
+
+    reader = IndexReader(built)
+    reader.ensure_preloaded()
+    for q in QUERIES:
+        tokens = dedupe_query_tokens(tokenize(q, reader.config.tokenizer))
+        if not tokens:
+            continue
+        idf_map = reader.idf_for_terms(tokens)
+        if not idf_map:
+            continue
+        for k in (1, 3, 10, 100):
+            for pid in reader.partitions:
+                a = wand_topk(reader, pid, tokens, idf_map, k)
+                b = blockmax_topk(reader, pid, tokens, idf_map, k)
+                assert (a.ordinals == b.ordinals).all(), (q, k, pid)
+                assert (a.scores == b.scores).all(), (q, k, pid)
+                assert (a.matched == b.matched).all(), (q, k, pid)
+
+
+def test_blockmax_skips_blocks_on_selective_query(built):
+    from coderag_ray.query.wand import blockmax_topk
+
+    reader = IndexReader(built)
+    tokens = dedupe_query_tokens(
+        tokenize("self return function const import", reader.config.tokenizer))
+    idf_map = reader.idf_for_terms(tokens)
+    scored = matching = 0
+    for pid in reader.partitions:
+        r = blockmax_topk(reader, pid, tokens, idf_map, k=3)
+        scored += r.docs_scored
+        matching += r.docs_total_matching
+    assert matching > 0
+    assert scored < matching, (scored, matching)
