@@ -830,8 +830,12 @@ def q_ivf_knn(sf_dir: str):
 # frozen quality floors for the approximate operators (measured at
 # sf0.001 and sf0.01 with margin; a regression below the floor flips the
 # *_ok booleans and fails the oracle hash compare)
-LSH_RECALL_FLOOR = 0.25
-IVF_RECALL_FLOOR = 0.55
+# raised in r4 (VERDICT item 4): ranked multi-bit multiprobe lifted LSH
+# from 0.44/0.62 to 0.78/0.86 at the oracle scales; IVF (the documented
+# DEFAULT ANN — data-adaptive centroids, ~3-6% scanned) measures
+# 0.74-0.84 across scales
+LSH_RECALL_FLOOR = 0.6
+IVF_RECALL_FLOOR = 0.6
 MINHASH_RECALL_FLOOR = 0.9
 
 

@@ -257,18 +257,27 @@ def sweep_stale_staging(parent: str, prefix: str) -> None:
 
 def _probe_buckets(Qn: np.ndarray, multiprobe: int,
                    n_planes: int = LSH_PLANES) -> list[set[int]]:
-    """Per-query probe set: own bucket + ``multiprobe`` single-bit flips
-    of the lowest-|margin| hyperplanes (most likely to hold neighbors)."""
+    """Per-query probe set: the ``multiprobe + 1`` most promising
+    buckets by RANKED multi-bit perturbation (multi-probe LSH, Lv et
+    al. 2007 — public literature): a candidate bucket's penalty is the
+    sum of squared margins of the hyperplanes it flips, so near-boundary
+    multi-plane flips outrank far single-plane ones.  Single-bit-only
+    probing (the r3 version) capped the probe set at ``n_planes + 1``
+    buckets, which froze recall once multiprobe exceeded the plane
+    count.  All ``2^p`` candidates are ranked vectorized (p ≤ 12 →
+    ≤ 4096 rows per query)."""
     P = _planes(Qn.shape[1], n_planes)
     proj = Qn @ P.T
     own = _bucket_of(Qn, P)
+    masks = np.arange(1 << n_planes, dtype=np.int64)
+    bits = ((masks[:, None] >> np.arange(n_planes)[None, :]) & 1).astype(np.float64)
+    m2 = proj ** 2  # [nq, p] squared margins
     out = []
+    n_probe = min(multiprobe + 1, 1 << n_planes)
     for qi in range(len(Qn)):
-        flip_order = np.argsort(np.abs(proj[qi]))[:multiprobe]
-        probe = {int(own[qi])}
-        for f in flip_order:
-            probe.add(int(own[qi]) ^ (1 << int(f)))
-        out.append(probe)
+        penalty = bits @ m2[qi]  # penalty[m] = Σ flipped margins² (own = 0)
+        top = np.argpartition(penalty, n_probe - 1)[:n_probe]
+        out.append({int(own[qi]) ^ int(m) for m in masks[top]})
     return out
 
 
@@ -288,7 +297,7 @@ def probe_paths(index_dir: str, buckets: set[int]) -> list[str]:
 
 
 def lsh_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
-              k: int = 5, multiprobe: int = 3) -> pa.Table:
+              k: int = 5, multiprobe: int = 5) -> pa.Table:
     """Probe the bucket-partitioned layout for each query vector.
 
     Reads ONLY the probed bucket partitions (partition-pruned
@@ -374,7 +383,7 @@ def _probe_scan(paths: list[str], qids: np.ndarray, Qn: np.ndarray,
     )
 
 
-def lsh_knn(emb_ds, query_ids: list[int], k: int = 5, multiprobe: int = 3,
+def lsh_knn(emb_ds, query_ids: list[int], k: int = 5, multiprobe: int = 5,
             index_dir: str | None = None):
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
