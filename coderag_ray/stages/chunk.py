@@ -39,6 +39,12 @@ def make_chunker(config: IndexConfig):
         return _make_line_chunker(config)
     if config.chunker == "ast":
         return _make_ast_chunker(config)
+    if config.chunker == "auto":
+        # real-asset hook (VERDICT r3 item 7): tree-sitter parse trees
+        # when the runtime+grammar are importable, the deterministic
+        # stdlib-ast / brace-lexer chunkers otherwise — same pipeline,
+        # zero code change outside this factory
+        return _make_ast_chunker(config, use_treesitter=True)
     if config.chunker != "chars":
         raise ValueError(f"unknown chunker {config.chunker!r}")
     size, overlap = config.max_chunk_size, config.chunk_overlap
@@ -78,7 +84,7 @@ def make_chunker(config: IndexConfig):
     return chunk
 
 
-def _make_ast_chunker(config: IndexConfig):
+def _make_ast_chunker(config: IndexConfig, use_treesitter: bool = False):
     """Semantic AST chunking: stdlib-``ast`` for Python and the
     deterministic brace lexer for TypeScript/JavaScript/Go/Java/Rust —
     the reference's six tree-sitter languages (``chunkCodeByAST``,
@@ -119,10 +125,16 @@ def _make_ast_chunker(config: IndexConfig):
             # case-insensitive: corpus tables say "python", the filesystem
             # source's LANGUAGE_REGISTRY says "Python"
             low = lang.lower() if isinstance(lang, str) else ""
-            if low == "python":
-                chunks = chunk_python_ast(c, size)
-            else:
-                chunks = chunk_braces_ast(c, low, size)
+            chunks = None
+            if use_treesitter:
+                from coderag_ray.functions.treesitter_chunker import chunk_treesitter
+
+                chunks = chunk_treesitter(c, low, size)  # None unless importable
+            if chunks is None:
+                if low == "python":
+                    chunks = chunk_python_ast(c, size)
+                else:
+                    chunks = chunk_braces_ast(c, low, size)
             if chunks is not None:
                 for ci, ch in enumerate(chunks):
                     emit(di, ci, ch.type, ch.start_line, ch.end_line,
