@@ -43,6 +43,40 @@ def auto_concurrency(lo: int = 2, cap: int | None = None) -> tuple[int, int]:
     return (lo, max(lo, n))
 
 
+def dataset_rows_estimate(ds) -> int:
+    """Row count for sizing heuristics: parquet footer metadata via
+    ``input_files()`` when the dataset is a fresh read, ``count()``
+    otherwise.  For a DERIVED dataset the footer path returns the
+    pre-transform size — fine for bucket sizing, where overcounting is
+    conservative.
+
+    Ray's metadata fetch logs a cosmetic "Failed to hash the schemas"
+    WARNING whenever the parquet schema carries pandas metadata (an
+    unhashable dict inside Ray's schema-dedup) — it fires even on a
+    bare ``count()`` and there is no public API to strip metadata at
+    the read, so that one logger is silenced around the probe."""
+    import logging
+
+    lg = logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow")
+    old_level = lg.level
+    lg.setLevel(logging.ERROR)
+    try:
+        try:
+            files = [f for f in ds.input_files() if f.endswith(".parquet")]
+            if files:
+                import pyarrow.parquet as pq
+
+                return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        except Exception:
+            pass
+        try:
+            return int(ds.count())
+        except Exception:
+            return 0
+    finally:
+        lg.setLevel(old_level)
+
+
 def auto_buckets(rows_or_ds, target_rows: int = 2_000_000,
                  lo: int = 64, hi: int = 65_536) -> int:
     """Bucket count for bucketed group-bys, derived from input size the
@@ -62,10 +96,7 @@ def auto_buckets(rows_or_ds, target_rows: int = 2_000_000,
     ``lo`` (the historical constant at test scale).
     """
     if hasattr(rows_or_ds, "count"):
-        try:
-            n = int(rows_or_ds.count())
-        except Exception:
-            n = 0
+        n = dataset_rows_estimate(rows_or_ds)
     else:
         n = int(rows_or_ds or 0)
     if n <= 0:

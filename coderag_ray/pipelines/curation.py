@@ -36,10 +36,7 @@ def curate(docs_ds, *, min_words: int = 10, max_stopword_ratio: float = 0.7,
 
     from coderag_ray.config import auto_buckets
 
-    try:
-        nb = auto_buckets(docs_ds.count(), target_rows=2_000_000)
-    except Exception:
-        nb = 64
+    nb = auto_buckets(docs_ds, target_rows=2_000_000)
 
     bench = docs_ds.map_batches(
         lambda t: t.filter(pc.less(pc.cast(t["doc_id"], pa.int64()), benchmark_max_id)),

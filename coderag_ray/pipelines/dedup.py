@@ -206,10 +206,9 @@ def _ngram_pair_scores(docs_ds, n: int = 3,
 
     from coderag_ray.config import auto_buckets
 
-    try:
-        n_rows = int(docs_ds.count())
-    except Exception:
-        n_rows = 0
+    from coderag_ray.config import dataset_rows_estimate
+
+    n_rows = dataset_rows_estimate(docs_ds)
     # shingle groups hold ~dozens of text rows per doc → small target;
     # pair-merge groups hold duplicate-rate-sized narrow rows
     nb_shingle = auto_buckets(n_rows, target_rows=50_000)
@@ -724,10 +723,9 @@ def minhash_lsh_pairs(docs_ds, n: int = 3, jaccard_threshold: float = 0.5,
     from coderag_ray.config import auto_buckets
     from coderag_ray.functions.hashing import splitmix64
 
-    try:
-        n_rows = int(docs_ds.count())
-    except Exception:
-        n_rows = 0
+    from coderag_ray.config import dataset_rows_estimate
+
+    n_rows = dataset_rows_estimate(docs_ds)
     # band rows = docs × MINHASH_BANDS narrow rows; join rounds hold
     # candidate-scale rows — all derived, never fixed (VERDICT r3 item 3)
     nb_band = auto_buckets(n_rows * MINHASH_BANDS, target_rows=2_000_000, lo=256)
