@@ -214,10 +214,12 @@ def run_bench() -> dict:
     # the real deployment shape, so this measures pool spin-up + steady
     # throughput together
     batch_queries = queries * 24
+    # from_arrow yields ONE block — split it so the pool's actors all
+    # receive inputs (Ray warns and serializes the whole feed otherwise)
     qds = ray.data.from_arrow(
         pa.table({"query_id": pa.array(range(len(batch_queries)), type=pa.int64()),
                   "text": pa.array(batch_queries)})
-    )
+    ).repartition(16)
     n_actors = max(2, min(4, NUM_CPUS // 8))
     pool_cpus = max(1, min(2, NUM_CPUS // n_actors))
     t0 = time.perf_counter()

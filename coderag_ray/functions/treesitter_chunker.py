@@ -4,8 +4,10 @@
 
 Detect-and-use: when a ``tree_sitter`` runtime AND a grammar for the
 language are importable, chunk boundaries come from the real parse tree
-(top-level function / class / method declarations, classes split
-per-method like the brace lexer).  When either asset is missing —
+(TOP-LEVEL declarations only — a class/impl node is one segment, split
+by character windows when oversized; unlike the brace lexer it does NOT
+recurse into per-method chunks, so enabling the wheel changes chunk
+boundaries vs the fallback).  When either asset is missing —
 as in this sandbox, which has no tree_sitter wheel —
 :func:`chunk_treesitter` returns ``None`` and callers fall back to the
 deterministic stdlib-``ast`` / brace-lexer chunkers, so pipelines pick

@@ -301,7 +301,10 @@ class IndexReader:
         hot = [(t, pl) for t, pl in postings.items() if len(pl[0]) > c_max]
         hot.sort(key=lambda kv: len(kv[1][0]), reverse=True)
         champs = OrderedDict()
-        for t, (ords, imps) in hot[:CHAMPION_CACHE_TERMS]:
+        # seed COLDEST-first: the champion LRU evicts first-inserted, so
+        # the hottest terms (whose O(n) rebuild is the whole point of
+        # preseeding) must be the most recently inserted
+        for t, (ords, imps) in reversed(hot[:CHAMPION_CACHE_TERMS]):
             part = np.argpartition(-imps, c_max)
             champs[t] = {"top": (ords[part[:c_max]], imps[part[:c_max]],
                                  float(imps[part[c_max]])),

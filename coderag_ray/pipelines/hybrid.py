@@ -79,10 +79,11 @@ def build_vector_ann(index_dir: str, dimensions: int = DEFAULT_DIMENSIONS) -> in
     from coderag_ray.pipelines.similarity import _bucket_of, _planes, derive_lsh_planes
 
     from coderag_ray.pipelines.similarity import (
-        swap_dir_crash_safe, sweep_stale_staging)
+        recover_dir_from_bak, swap_dir_crash_safe, sweep_stale_staging)
 
     reader = IndexReader(index_dir)
     final_ann_dir = os.path.join(index_dir, ANN_DIRNAME)
+    recover_dir_from_bak(final_ann_dir)
     # orphaned staging dirs from crashed builds carry OTHER pids —
     # sweep them before staging anew (ADVICE r3)
     sweep_stale_staging(index_dir, f"_tmp_{ANN_DIRNAME}_")

@@ -210,6 +210,7 @@ def _write_bucketed(ds, index_dir: str, extra_files: dict[str, bytes] | None = N
     import os
     import shutil
 
+    recover_dir_from_bak(index_dir)
     sweep_stale_staging(os.path.dirname(index_dir.rstrip("/")) or ".",
                         os.path.basename(index_dir.rstrip("/")) + "._tmp")
     tmp = index_dir.rstrip("/") + f"._tmp{os.getpid()}"
@@ -222,10 +223,14 @@ def _write_bucketed(ds, index_dir: str, extra_files: dict[str, bytes] | None = N
 
 
 def swap_dir_crash_safe(tmp: str, final: str) -> None:
-    """Promote a fully-built staging dir over the live layout such that
-    a crash at ANY point leaves a usable layout on disk (ADVICE r3: a
-    plain rmtree(final)+replace(tmp) has a window with neither): rename
-    the live dir aside, promote staging, then delete the old copy."""
+    """Promote a fully-built staging dir over the live layout.  POSIX
+    rename(2) cannot atomically exchange two non-empty directories, so
+    the guarantee is: a crash at any point leaves a usable layout ON
+    DISK — under ``final`` or under ``final + ".bak"`` (the one window
+    between the two renames).  :func:`recover_dir_from_bak` restores
+    the ``.bak`` copy and runs at every subsequent build/probe entry
+    point, so the window is self-healing rather than permanent (ADVICE
+    r3: a plain rmtree(final)+replace(tmp) left NO copy at all)."""
     import os
     import shutil
 
@@ -237,11 +242,38 @@ def swap_dir_crash_safe(tmp: str, final: str) -> None:
     shutil.rmtree(bak, ignore_errors=True)
 
 
-def sweep_stale_staging(parent: str, prefix: str) -> None:
-    """Remove orphaned staging dirs from crashed builds (their names
-    embed the builder's pid, so the current build's own rmtree never
-    targets them)."""
+def recover_dir_from_bak(final: str) -> None:
+    """Heal the swap_dir_crash_safe crash window: if only the ``.bak``
+    copy survived, promote it back."""
     import os
+
+    bak = final.rstrip("/") + ".bak"
+    if not os.path.isdir(final) and os.path.isdir(bak):
+        os.replace(bak, final)
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+
+
+def sweep_stale_staging(parent: str, prefix: str) -> None:
+    """Remove orphaned staging dirs from CRASHED builds only: names
+    embed the builder's pid, and a dir is swept when that pid is no
+    longer alive — a live concurrent builder's staging is left alone
+    (sweeping by prefix alone raced concurrent builds and could promote
+    a half-deleted layout)."""
+    import os
+    import re
     import shutil
 
     try:
@@ -249,10 +281,12 @@ def sweep_stale_staging(parent: str, prefix: str) -> None:
     except OSError:
         return
     for name in names:
-        # stale ``*.bak`` from a crash mid-swap is reclaimed by the next
-        # successful swap_dir_crash_safe — only staging dirs swept here
-        if name.startswith(prefix):
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        if not name.startswith(prefix):
+            continue
+        m = re.search(r"(\d+)$", name)
+        if m and _pid_alive(int(m.group(1))):
+            continue  # live builder — not ours to clean
+        shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
 def _probe_buckets(Qn: np.ndarray, multiprobe: int,

@@ -315,7 +315,15 @@ def blockmax_topk(
         seg_block[ti, valid] = j[valid]
 
     order = np.argsort(-seg_ub, kind="stable")
-    dec_cache: list[dict[int, tuple[np.ndarray, np.ndarray]]] = [dict() for _ in terms]
+    # bounded per-term decoded-block cache: segments arrive in UB order,
+    # not ordinal order, so a block can be touched by several segments —
+    # but caching every decoded block would materialize the full posting
+    # lists in RAM, the exact condition that routed the query to this
+    # disk path.  Small FIFO per term; a miss re-decodes one block.
+    from collections import OrderedDict as _OD
+
+    DEC_CACHE_BLOCKS = 16
+    dec_cache: list[_OD] = [_OD() for _ in terms]
     blocks_decoded = 0
     docs_scored = 0
     cand_ords: list[np.ndarray] = []
@@ -351,6 +359,8 @@ def blockmax_topk(
                     rec["freq_buf"], offset=int(rec["block_freq_off"][j]), count=size
                 ).astype(np.float64)
                 blk = dec_cache[ti][j] = (ords_j, freqs_j)
+                if len(dec_cache[ti]) > DEC_CACHE_BLOCKS:
+                    dec_cache[ti].popitem(last=False)
                 blocks_decoded += 1
             ords_j, freqs_j = blk
             a = int(np.searchsorted(ords_j, lo_excl, side="right"))
@@ -372,9 +382,22 @@ def blockmax_topk(
         cand_masks.append(mask_seg[nz])
         n_cand += len(nz)
         if n_cand >= k and k > 0:
+            # recompute kth, then PRUNE the accumulation to scores >= kth
+            # (ties kept for the ordinal tie-break): anything below kth
+            # can never re-enter the top-k since kth only rises, and the
+            # prune keeps each recompute O(current survivors), not
+            # O(total candidates ever seen) — quadratic otherwise on
+            # non-selective queries
             allsc = np.concatenate(cand_scores) if len(cand_scores) > 1 else cand_scores[0]
             kth = np.partition(allsc, len(allsc) - k)[len(allsc) - k]
             have_k = True
+            keep_mask = allsc >= kth
+            all_ords = np.concatenate(cand_ords) if len(cand_ords) > 1 else cand_ords[0]
+            all_masks = np.concatenate(cand_masks) if len(cand_masks) > 1 else cand_masks[0]
+            cand_ords = [all_ords[keep_mask]]
+            cand_scores = [allsc[keep_mask]]
+            cand_masks = [all_masks[keep_mask]]
+            n_cand = len(cand_ords[0])
 
     if not cand_ords:
         return empty

@@ -107,9 +107,14 @@ def test_champion_preseed_at_preload_matches_lazy(ray_session, tmp_path):
         compact = reader.compact()
         seeded = compact._champions
         c_max = sm.CHAMPION_C * sm.CHAMPION_LADDER[-1]
-        hot_terms = [t for t, (o, _) in compact.postings.items() if len(o) > c_max]
-        assert hot_terms and set(seeded) == set(hot_terms[: sm.CHAMPION_CACHE_TERMS]) \
-            or set(seeded) <= set(hot_terms)
+        hot_terms = {t for t, (o, _) in compact.postings.items() if len(o) > c_max}
+        assert hot_terms, "fixture must produce hot terms"
+        assert seeded, "preseed must actually seed"
+        if len(hot_terms) <= sm.CHAMPION_CACHE_TERMS:
+            assert set(seeded) == hot_terms
+        else:
+            assert len(seeded) == sm.CHAMPION_CACHE_TERMS
+            assert set(seeded) <= hot_terms
         # byte-identical to the lazy computation
         for t in list(seeded)[:5]:
             ords, imps = compact.postings[t]
