@@ -229,8 +229,7 @@ class IndexReader:
         dl_eff = np.maximum(all_dls, 1).astype(np.float64)
         dl_norm = k1 * (1.0 - b + (b * dl_eff) / self.avgdl)
 
-        merged: dict[str, list] = {}
-        for pid in self.partitions:
+        def load_part(pid: int):
             tbl = pq.read_table(
                 os.path.join(self.part_dir(pid), "postings.parquet"),
                 columns=["term", "df_local", "doc_buf", "freq_buf"],
@@ -238,7 +237,6 @@ class IndexReader:
             terms = tbl["term"].to_pylist()
             df = tbl["df_local"].to_numpy(zero_copy_only=False).astype(np.int64)
             part_off = np.uint64(offsets[pid])
-            bounds = np.concatenate([[0], np.cumsum(df)])
             for col_name, is_delta in (("doc_buf", True), ("freq_buf", False)):
                 col = tbl[col_name].combine_chunks()
                 bufs = col.buffers()
@@ -250,25 +248,76 @@ class IndexReader:
                     ords_all = varint.decode_delta_runs(data, df) + part_off
                 else:
                     freqs_all = varint.decode(data).astype(np.float64)
-            ords_all = ords_all.astype(np.int64)
-            # per-posting impact, same expression tree as the per-query form
-            idf_map = self.idf_for_terms(terms)
-            idf_per_posting = np.repeat(
-                np.array([idf_map.get(t, (0, 0.0))[1] for t in terms]), df
-            )
-            imp_all = idf_per_posting * (
-                (freqs_all * (k1 + 1.0)) / (freqs_all + dl_norm[ords_all])
-            )
-            for i, t in enumerate(terms):
-                sl = slice(bounds[i], bounds[i + 1])
-                merged.setdefault(t, []).append((ords_all[sl], imp_all[sl]))
+            return terms, df, ords_all.astype(np.int64), freqs_all
+
+        # partitions decode in a thread pool (parquet read + the varint
+        # kernels release the GIL for their heavy parts) — this is every
+        # scorer actor's startup cost
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_threads = min(8, max(1, len(self.partitions)))
+        with ThreadPoolExecutor(n_threads) as ex:
+            parts = list(ex.map(load_part, self.partitions))
+
+        # global merge, fully vectorized (the old per-term Python loop —
+        # 864k slice/setdefault iterations + 414k np.concatenate calls —
+        # and per-partition idf list-comps were ~45 s of the preload):
+        # factorize term rows, order rows by (term, ascending pid) with a
+        # stable lexsort (same per-term concatenation order as the old
+        # loop), materialize the reordered posting arrays with ONE
+        # segment-gather, compute impacts in one arithmetic pass over
+        # the same expression tree, and hand out per-term VIEWS.
+        import pandas as pd
+
+        all_terms: list[str] = []
+        for terms, _, _, _ in parts:
+            all_terms.extend(terms)
+        df_rows = np.concatenate([df for _, df, _, _ in parts]) \
+            if parts else np.empty(0, dtype=np.int64)
+        pid_rows = np.concatenate([
+            np.full(len(terms), i, dtype=np.int32)
+            for i, (terms, _, _, _) in enumerate(parts)
+        ]) if parts else np.empty(0, dtype=np.int32)
+        G_ords = np.concatenate([o for _, _, o, _ in parts]) \
+            if parts else np.empty(0, dtype=np.int64)
+        G_freqs = np.concatenate([f for _, _, _, f in parts]) \
+            if parts else np.empty(0)
+        row_starts = np.concatenate([[0], np.cumsum(df_rows)])[:-1]
+
+        codes, uniques = pd.factorize(np.asarray(all_terms, dtype=object))
+        order = np.lexsort((pid_rows, codes))
+        codes_o, df_o, starts_o = codes[order], df_rows[order], row_starts[order]
+        out_end = np.cumsum(df_o)
+        out_start = out_end - df_o
+        total = int(out_end[-1]) if len(out_end) else 0
+        gather = (np.repeat(starts_o - out_start, df_o)
+                  + np.arange(total, dtype=np.int64))
+        ords_sorted = G_ords[gather]
+        freqs_sorted = G_freqs[gather]
+        del G_ords, G_freqs, gather
+        # idf per term once, broadcast per posting — identical float64
+        # expression tree as the per-query scorer
+        idf_map = self.idf_for_terms(list(uniques))
+        idf_u = np.array([idf_map.get(t, (0, 0.0))[1] for t in uniques])
+        idf_pp = np.repeat(idf_u[codes_o], df_o)
+        imp_sorted = idf_pp * (
+            (freqs_sorted * (k1 + 1.0)) / (freqs_sorted + dl_norm[ords_sorted])
+        )
+        del idf_pp, freqs_sorted
+        # per-term boundaries in the sorted row space → dict of views
+        first_row = np.flatnonzero(np.r_[True, codes_o[1:] != codes_o[:-1]]) \
+            if len(codes_o) else np.empty(0, dtype=np.int64)
+        counts = np.add.reduceat(df_o, first_row) if len(first_row) else []
+        term_start = out_start[first_row] if len(first_row) else []
+        merged_terms = uniques[codes_o[first_row]] if len(first_row) else []
+        merged = {
+            t: ((s, int(s + c)))
+            for t, s, c in zip(merged_terms, term_start, counts)
+        }
 
         postings = {
-            t: (
-                np.concatenate([a for a, _ in chunks_]) if len(chunks_) > 1 else chunks_[0][0],
-                np.concatenate([f for _, f in chunks_]) if len(chunks_) > 1 else chunks_[0][1],
-            )
-            for t, chunks_ in merged.items()
+            t: (ords_sorted[s:e], imp_sorted[s:e])  # views, zero-copy
+            for t, (s, e) in merged.items()
         }
         self._compact = CompactIndex(
             doc_ids=np.concatenate(doc_ids) if doc_ids else np.empty(0, dtype=np.int64),
