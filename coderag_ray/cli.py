@@ -42,7 +42,16 @@ def cmd_build(args) -> int:
 
     cfg = IndexConfig(tokenizer=args.tokenizer, num_partitions=args.partitions,
                       chunker=getattr(args, "chunker", "chars"))
-    report = build_index(args.input, args.index_dir, cfg, resume=not args.no_resume)
+    fmt = getattr(args, "format", "parquet")
+    if fmt == "parquet":
+        source = args.input  # corpus-schema parquet path (build_index reads it)
+    else:
+        from coderag_ray import corpus as C
+
+        source = {"documents": C.corpus_from_documents,
+                  "jsonl": C.corpus_from_jsonl,
+                  "csv": C.corpus_from_csv}[fmt](args.input)
+    report = build_index(source, args.index_dir, cfg, resume=not args.no_resume)
     print(json.dumps(report.__dict__, default=str))
     ray.shutdown()
     return 0
@@ -152,9 +161,13 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build")
     b.add_argument("input")
     b.add_argument("index_dir")
+    b.add_argument("--format", default="parquet",
+                   choices=["parquet", "documents", "jsonl", "csv"],
+                   help="input shape: corpus-schema parquet (default), a "
+                        "documents.parquet dir, or JSONL/CSV document dumps")
     b.add_argument("--tokenizer", default="code", choices=["code", "simple", "bpe"])
     b.add_argument("--partitions", type=int, default=16)
-    b.add_argument("--chunker", default="chars", choices=["chars", "lines", "ast"])
+    b.add_argument("--chunker", default="chars", choices=["chars", "lines", "ast", "auto"])
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 

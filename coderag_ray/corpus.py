@@ -147,3 +147,52 @@ def corpus_from_documents(sf_dir: str):
         )
 
     return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+def _adapt_documents(ds, fill_n_chars: bool = False):
+    """documents-shaped Dataset → corpus schema (shared by the parquet /
+    jsonl / csv sources).  Missing optional columns (lang, source) are
+    filled with defaults so any docs-like dump indexes."""
+    import pyarrow.compute as pc
+
+    def adapt(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64())
+        n = len(t)
+        lang = t["lang"] if "lang" in t.column_names else pa.array(
+            ["text"] * n, type=pa.string())
+        src = t["source"] if "source" in t.column_names else pa.array(
+            ["import"] * n, type=pa.string())
+        return pa.table(
+            {
+                "doc_id": did,
+                "repo": pc.cast(src, pa.string()),
+                "path": pc.binary_join_element_wise(
+                    pa.array(["doc"] * n), pc.cast(did, pa.string()), "/"
+                ),
+                "commit": pa.array([""] * n, type=pa.string()),
+                "lang": pc.cast(lang, pa.string()),
+                "content": pc.cast(t["text"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+def corpus_from_jsonl(path: str):
+    """Index a JSONL dump of documents (``{"doc_id": ..., "text": ...}``
+    per line, optional ``lang``/``source``) — the interchange format
+    most training-data dumps ship in.  Lazy distributed read
+    (``ray.data.read_json`` handles files or directories of ``.jsonl``/
+    ``.json`` parts); same downstream pipeline as the parquet source.
+    """
+    import ray.data
+
+    return _adapt_documents(ray.data.read_json(path))
+
+
+def corpus_from_csv(path: str):
+    """Index a CSV dump of documents (header must include ``doc_id`` and
+    ``text``; optional ``lang``/``source``).  Lazy distributed read."""
+    import ray.data
+
+    return _adapt_documents(ray.data.read_csv(path))

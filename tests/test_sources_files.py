@@ -153,3 +153,60 @@ def test_cli_scan_and_search_real_directory(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     rows = _json.loads(r.stdout.strip().splitlines()[-1])
     assert any(row["path"] == "src/main.py" for row in rows)
+
+
+def test_corpus_from_jsonl_and_csv_index_end_to_end(ray_session, tmp_path):
+    """JSONL / CSV document dumps build the same index as the parquet
+    source for identical rows (interchange-source parity)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.corpus import (
+        corpus_from_csv, corpus_from_documents, corpus_from_jsonl)
+    from coderag_ray.index.build import build_index
+    from coderag_ray.query.search import search
+
+    rows = [
+        {"doc_id": i, "text": f"alpha beta gamma token{i} " * 6,
+         "lang": "text", "source": "s"}
+        for i in range(40)
+    ]
+    # jsonl
+    jd = tmp_path / "jsonl"; jd.mkdir()
+    with open(jd / "part0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    # csv (no optional columns → defaults fill in)
+    cd = tmp_path / "csv"; cd.mkdir()
+    with open(cd / "docs.csv", "w") as f:
+        f.write("doc_id,text\n")
+        for r in rows:
+            f.write(f"{r['doc_id']},\"{r['text']}\"\n")
+    # parquet documents table (the existing source)
+    pd_dir = tmp_path / "pq"; pd_dir.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "text": pa.array([r["text"] for r in rows]),
+        "lang": pa.array([r["lang"] for r in rows]),
+        "source": pa.array([r["source"] for r in rows]),
+        "n_chars": pa.array([len(r["text"]) for r in rows], type=pa.int64()),
+    }), str(pd_dir / "documents.parquet"))
+
+    cfg = IndexConfig(num_partitions=2)
+    out = {}
+    for name, ds in (("jsonl", corpus_from_jsonl(str(jd))),
+                     ("csv", corpus_from_csv(str(cd))),
+                     ("parquet", corpus_from_documents(str(pd_dir)))):
+        idx = str(tmp_path / f"idx_{name}")
+        build_index(ds, idx, cfg)
+        res = search(idx, "token7 alpha", 5, with_doc_columns=False)
+        out[name] = res.select(["doc_id", "chunk_id", "score"]).to_pylist()
+    assert out["jsonl"] == out["parquet"]
+    # csv source lacks lang/source columns → same content, same ranking
+    assert [r["doc_id"] for r in out["csv"]] == [r["doc_id"] for r in out["parquet"]]
+    assert [round(r["score"], 6) for r in out["csv"]] == \
+           [round(r["score"], 6) for r in out["parquet"]]
