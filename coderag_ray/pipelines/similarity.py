@@ -434,6 +434,7 @@ def lsh_knn(emb_ds, query_ids: list[int], k: int = 5, multiprobe: int = 5,
     if own:
         index_dir = tempfile.mkdtemp(prefix="coderag_lsh_")
     try:
+        os.makedirs(index_dir, exist_ok=True)
         if not any(n.startswith("bucket=") for n in os.listdir(index_dir)):
             build_lsh_index(emb_ds, index_dir)
         q = _grab_queries(emb_ds, query_ids)
@@ -558,12 +559,288 @@ def ivf_knn(emb_ds, query_ids: list[int], k: int = 5, n_probe: int = 4,
     if own:
         index_dir = tempfile.mkdtemp(prefix="coderag_ivf_")
     try:
+        os.makedirs(index_dir, exist_ok=True)
         if not any(n.startswith("bucket=") for n in os.listdir(index_dir)):
             build_ivf_index(emb_ds, index_dir)
         q = _grab_queries(emb_ds, query_ids)
         Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
         return ivf_probe(index_dir, q["vec_id"].to_numpy(dtype=np.int64), Q,
                          k=k, n_probe=n_probe)
+    finally:
+        if own:
+            shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — product-quantized residuals (the embedding MEMORY scale path)
+# ---------------------------------------------------------------------------
+# At 100-TB corpus scale the embedding store itself dominates (float32
+# vectors at dim 512+ are KBs per row); IVF-PQ stores m uint8 codes per
+# vector (32-256× smaller) and scores candidates with per-query ADC
+# lookup tables (Jégou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search" — public literature).  Approximate by construction →
+# pytest recall-floor coverage (no driver row: the 50-query artifact is
+# full; COVERAGE.md documents it).
+
+PQ_SUBSPACES = 8
+PQ_KS = 64  # codebook entries per subspace (uint8 codes; ≤256)
+
+
+def _kmeans_l2(X: np.ndarray, k: int, n_iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd k-means under L2 (residuals are not unit
+    vectors): init = first ``k`` rows (caller passes vec_id order),
+    empty clusters keep their previous centroid."""
+    k = max(1, min(k, len(X)))
+    C = X[:k].copy()
+    for _ in range(n_iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) if len(X) * k * X.shape[1] < 5e7 \
+            else (X ** 2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C ** 2).sum(1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def _pq_encode(R: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Residuals [n, d] → codes [n, m] uint8 (nearest codebook entry per
+    subspace, vectorized)."""
+    m, ks, dsub = codebooks.shape
+    codes = np.empty((len(R), m), dtype=np.uint8)
+    for j in range(m):
+        sub = R[:, j * dsub:(j + 1) * dsub]
+        cb = codebooks[j]
+        d = (sub ** 2).sum(1)[:, None] - 2.0 * (sub @ cb.T) + (cb ** 2).sum(1)[None, :]
+        codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
+
+
+def build_ivfpq_index(emb_ds, index_dir: str, n_centroids: int = IVF_CENTROIDS,
+                      m: int = PQ_SUBSPACES, ks: int = PQ_KS,
+                      n_iters: int = 8, sample_mod: int | None = None) -> None:
+    """IVF-PQ layout: coarse spherical-k-means quantizer (same training
+    sample discipline as :func:`build_ivf_index`), per-subspace L2
+    codebooks trained on the SAMPLE's residuals, then every vector is
+    assigned + PQ-encoded in ``map_batches`` and lands in one parquet
+    partition per coarse bucket storing ONLY ``(vec_id, codes)`` — the
+    original embedding column never enters the layout, which is the
+    memory point.  Layout extras: ``centroids.npy``, ``codebooks.npy``.
+    """
+    import io
+
+    import pyarrow.compute as pc
+
+    from coderag_ray.functions.hashing import splitmix64
+
+    if sample_mod is None:
+        from coderag_ray.config import dataset_rows_estimate
+
+        sample_mod = derive_sample_mod(dataset_rows_estimate(emb_ds))
+
+    def grab_sample(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (splitmix64(v) % np.uint64(sample_mod)) == 0
+        return t.filter(pa.array(keep))
+
+    sample = (emb_ds.map_batches(grab_sample, batch_format="pyarrow")
+              .to_pandas().sort_values("vec_id"))
+    E = _normalize(emb_matrix(pa.table({
+        "embedding": pa.array(list(sample["embedding"]))})["embedding"]))
+    d = E.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    C = _kmeans_cosine(E, n_centroids, n_iters)
+    R = E - C[np.argmax(E @ C.T, axis=1)]
+    dsub = d // m
+    codebooks = np.stack([
+        _kmeans_l2(np.ascontiguousarray(R[:, j * dsub:(j + 1) * dsub]), ks, n_iters)
+        for j in range(m)
+    ])  # [m, ks', dsub] — ks' may clamp to sample size
+    if codebooks.shape[1] < ks:  # pad so codes stay valid uint8 indices
+        pad = np.repeat(codebooks[:, :1, :], ks - codebooks.shape[1], axis=1)
+        codebooks = np.concatenate([codebooks, pad], axis=1)
+    cbuf, bbuf = io.BytesIO(), io.BytesIO()
+    np.save(cbuf, C)
+    np.save(bbuf, codebooks)
+
+    def assign(t: pa.Table) -> pa.Table:
+        En = _normalize(emb_matrix(t["embedding"]))
+        b = np.argmax(En @ C.T, axis=1).astype(np.int32)
+        codes = _pq_encode(En - C[b], codebooks)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                # fixed-size binary → zero-copy np.frombuffer at probe time
+                "codes": pa.Array.from_buffers(
+                    pa.binary(codes.shape[1]), len(codes),
+                    [None, pa.py_buffer(codes.tobytes())]),
+                "bucket_id": pa.array(b, type=pa.int32()),
+                "bucket": pa.array(b, type=pa.int32()),
+            }
+        )
+
+    _write_bucketed(emb_ds.map_batches(assign, batch_format="pyarrow"), index_dir,
+                    extra_files={"centroids.npy": cbuf.getvalue(),
+                                 "codebooks.npy": bbuf.getvalue()})
+
+
+def ivfpq_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
+                k: int = 5, n_probe: int = 4) -> pa.Table:
+    """Distributed ADC probe (same shape as :func:`_probe_scan`): the
+    per-query LUTs (``LUT[j] = q_sub_j · codebook_j^T``) and centroid
+    base scores are broadcast once; each ``map_batches`` task over the
+    PRUNED bucket partitions scores its rows with
+    ``q·c_bucket + Σ_j LUT[j, code_j]`` — pure uint8 gathers, no float
+    vectors read — and emits per-batch top-k candidates.  Only candidate
+    rows + scan counts reach the driver.
+    → (query_id, vec_id, adc_score round6, n_scanned), ordered
+    (query_id, adc_score DESC, vec_id); self-matches excluded."""
+    import os
+
+    import ray
+    import ray.data
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    codebooks = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m, ks, dsub = codebooks.shape
+    Qn = _normalize(np.asarray(Q, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    sims = Qn @ C.T  # [nq, nlist] — base scores q·c
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    probe_sets = [frozenset(int(b) for b in row) for row in order]
+    all_buckets = set().union(*probe_sets) if probe_sets else set()
+    paths = probe_paths(index_dir, all_buckets)
+    if not paths:
+        return pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "adc_score": pa.array([], type=pa.float64()),
+            "n_scanned": pa.array([], type=pa.int64()),
+        })
+    # [nq, m, ks] LUTs, built once and broadcast
+    luts = np.einsum("qjd,jkd->qjk",
+                     Qn.reshape(len(Qn), m, dsub), codebooks)
+    bc = ray.put((qids, luts, sims, probe_sets))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        q_ids, q_luts, q_sims, q_probes = ray.get(bc)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bids = t["bucket_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["codes"].combine_chunks()
+        codes = np.frombuffer(col.buffers()[1], dtype=np.uint8,
+                              count=len(col) * m,
+                              offset=col.offset * m).reshape(-1, m)
+        out_q, out_v, out_s = [], [], []
+        n = len(vids)
+        for qi in range(len(q_ids)):
+            mask = np.isin(bids, list(q_probes[qi])) & (vids != q_ids[qi])
+            if not mask.any():
+                continue
+            s = q_sims[qi, bids[mask]]
+            cm = codes[mask]
+            for j in range(m):
+                s = s + q_luts[qi, j][cm[:, j]]
+            v = vids[mask]
+            kk = min(k, len(v))
+            sel = np.lexsort((v, -s))[:kk]
+            out_q.extend([int(q_ids[qi])] * kk)
+            out_v.extend(v[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "adc_score": pa.array(out_s, type=pa.float64()),
+            "n_scanned": pa.array([n] * len(out_q), type=pa.int64()),
+        })
+
+    cand = (ray.data.read_parquet(paths)
+            .map_batches(score_batch, batch_format="pyarrow").to_pandas())
+    rows = []
+    for qi in range(len(qids)):
+        g = cand[cand["query_id"] == qids[qi]]
+        scanned = int(g["n_scanned"].sum()) if len(g) else 0
+        if not len(g):
+            continue
+        v = g["vec_id"].to_numpy(dtype=np.int64)
+        s = g["adc_score"].to_numpy(dtype=np.float64)
+        sel = np.lexsort((v, -s))[:k]
+        for i in sel:
+            rows.append((int(qids[qi]), int(v[i]), float(round6(s[i])), scanned))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "vec_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "adc_score": pa.array([r[2] for r in rows], type=pa.float64()),
+        "n_scanned": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+def ivfpq_knn(emb_ds, query_ids: list[int], k: int = 5, n_probe: int = 4,
+              refine: int = 4, index_dir: str | None = None):
+    """Approximate cosine top-k over the PQ-coded layout (build-or-reuse
+    + ADC probe), mirroring :func:`ivf_knn` — the embedding-memory scale
+    path (codes only, no float vectors in the layout).
+
+    ``refine > 0`` re-ranks the ADC shortlist (``refine × k`` per query)
+    with EXACT cosine via one broadcast-id semi-join scan of the source
+    embeddings — the standard IVF-PQ refinement step: the PQ layout
+    stays 32-256× smaller than the vectors, and the refine pass touches
+    only shortlist rows.  ``refine=0`` returns raw ADC ranking
+    (adc_score column instead of cos_sim)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray
+
+    own = index_dir is None
+    if own:
+        index_dir = tempfile.mkdtemp(prefix="coderag_ivfpq_")
+    try:
+        os.makedirs(index_dir, exist_ok=True)
+        if not any(n.startswith("bucket=") for n in os.listdir(index_dir)):
+            build_ivfpq_index(emb_ds, index_dir)
+        q = _grab_queries(emb_ds, query_ids)
+        Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+        qids = q["vec_id"].to_numpy(dtype=np.int64)
+        short = ivfpq_probe(index_dir, qids, Q,
+                            k=(k * refine if refine else k), n_probe=n_probe)
+        if not refine:
+            return short
+        sdf = short.to_pandas()
+        need = np.unique(sdf["vec_id"].to_numpy(dtype=np.int64))
+        need_ref = ray.put(need)
+
+        def grab(t: pa.Table) -> pa.Table:
+            ids = ray.get(need_ref)
+            return t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()),
+                                     value_set=pa.array(ids, type=pa.int64())))
+
+        cand = (emb_ds.map_batches(grab, batch_format="pyarrow").to_pandas())
+        cid = cand["vec_id"].to_numpy(dtype=np.int64)
+        CE = _normalize(np.stack(cand["embedding"].to_numpy()).astype(np.float64))
+        Qn = _normalize(Q)
+        pos = {int(v): i for i, v in enumerate(cid)}
+        rows = []
+        scanned = dict(zip(sdf["query_id"], sdf["n_scanned"]))
+        for qi in range(len(qids)):
+            g = sdf[sdf["query_id"] == qids[qi]]
+            if not len(g):
+                continue
+            v = g["vec_id"].to_numpy(dtype=np.int64)
+            idx = np.array([pos[int(x)] for x in v], dtype=np.int64)
+            s = CE[idx] @ Qn[qi]
+            sel = np.lexsort((v, -s))[:k]
+            for i in sel:
+                rows.append((int(qids[qi]), int(v[i]), float(round6(s[i])),
+                             int(scanned.get(qids[qi], 0))))
+        return pa.table({
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "cos_sim": pa.array([r[2] for r in rows], type=pa.float64()),
+            "n_scanned": pa.array([r[3] for r in rows], type=pa.int64()),
+        })
     finally:
         if own:
             shutil.rmtree(index_dir, ignore_errors=True)

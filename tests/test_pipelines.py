@@ -345,3 +345,45 @@ def test_js_string_hash_vectorized_parity():
     ]
     for t in cases:
         assert js_string_hash(t) == scalar(t)
+
+
+def test_ivfpq_layout_codes_only_and_recall_floor(ray_session, tmp_path):
+    """IVF-PQ (the embedding MEMORY scale path): the layout stores only
+    (vec_id, codes, bucket) — no float vectors — and ADC + exact-refine
+    recall@5 vs the brute-force scan stays above the frozen floor."""
+    import os
+
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from coderag_ray.pipelines.similarity import (
+        PQ_SUBSPACES, build_ivfpq_index, ivfpq_knn, knn_bruteforce)
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = lambda: ray.data.read_parquet(src)  # noqa: E731
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(ds(), idx)
+    # layout holds codes, never the embedding column
+    bucket_files = [os.path.join(r, f) for r, _, fs in os.walk(idx)
+                    for f in fs if f.endswith(".parquet")]
+    assert bucket_files
+    schema = pq_.ParquetFile(bucket_files[0]).schema_arrow
+    assert "embedding" not in schema.names
+    assert schema.field("codes").type == pa.binary(PQ_SUBSPACES)
+    # recall floor (measured 0.82 at this scale; frozen with margin)
+    qids = list(range(10))
+    ex = knn_bruteforce(ds(), qids, 5).to_pandas()
+    exact = {q: set(g["vec_id"]) for q, g in ex.groupby("query_id")}
+    ap = ivfpq_knn(ds(), qids, 5, n_probe=4, index_dir=idx).to_pandas()
+    rec = np.mean([len(set(g["vec_id"]) & exact[q]) / len(exact[q])
+                   for q, g in ap.groupby("query_id")])
+    assert rec >= 0.6, rec
+    # self excluded, exact-refined scores sorted per query
+    assert not (ap["query_id"] == ap["vec_id"]).any()
+    for _, g in ap.groupby("query_id"):
+        s = g["cos_sim"].to_numpy()
+        assert (np.diff(s) <= 1e-12).all()
+    # deterministic: a rebuild returns identical results
+    idx2 = str(tmp_path / "ivfpq2")
+    ap2 = ivfpq_knn(ds(), qids, 5, n_probe=4, index_dir=idx2).to_pandas()
+    assert ap.equals(ap2)
