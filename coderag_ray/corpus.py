@@ -122,34 +122,18 @@ def corpus_from_documents(sf_dir: str):
 
     ``documents(doc_id, text, lang, source, n_chars)`` →
     ``(doc_id, repo=source, path='doc/<id>', commit='', lang, content=text)``.
-    Returns a lazy ray Dataset.
+    Returns a lazy ray Dataset (shared adapter with the jsonl/csv
+    sources, so every interchange format maps identically).
     """
-    import pyarrow.compute as pc
     import ray.data
 
     # scan-level pruning: n_chars is never consumed by the build
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang", "source"])
-
-    def adapt(t: pa.Table) -> pa.Table:
-        did = t["doc_id"]
-        return pa.table(
-            {
-                "doc_id": did,
-                "repo": t["source"],
-                "path": pc.binary_join_element_wise(
-                    pa.array(["doc"] * len(t)), pc.cast(did, pa.string()), "/"
-                ),
-                "commit": pa.array([""] * len(t), type=pa.string()),
-                "lang": t["lang"],
-                "content": t["text"],
-            }
-        )
-
-    return ds.map_batches(adapt, batch_format="pyarrow")
+    return _adapt_documents(ds)
 
 
-def _adapt_documents(ds, fill_n_chars: bool = False):
+def _adapt_documents(ds):
     """documents-shaped Dataset → corpus schema (shared by the parquet /
     jsonl / csv sources).  Missing optional columns (lang, source) are
     filled with defaults so any docs-like dump indexes."""

@@ -650,6 +650,8 @@ def build_ivfpq_index(emb_ds, index_dir: str, n_centroids: int = IVF_CENTROIDS,
     d = E.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    if ks > 256:
+        raise ValueError(f"ks={ks} exceeds uint8 code range (max 256)")
     C = _kmeans_cosine(E, n_centroids, n_iters)
     R = E - C[np.argmax(E @ C.T, axis=1)]
     dsub = d // m
@@ -731,37 +733,43 @@ def ivfpq_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
         codes = np.frombuffer(col.buffers()[1], dtype=np.uint8,
                               count=len(col) * m,
                               offset=col.offset * m).reshape(-1, m)
-        out_q, out_v, out_s = [], [], []
-        n = len(vids)
+        out_q, out_v, out_s, out_n = [], [], [], []
         for qi in range(len(q_ids)):
             mask = np.isin(bids, list(q_probes[qi])) & (vids != q_ids[qi])
-            if not mask.any():
+            n = int(mask.sum())  # rows this query actually scored here
+            if n == 0:
                 continue
             s = q_sims[qi, bids[mask]]
             cm = codes[mask]
             for j in range(m):
                 s = s + q_luts[qi, j][cm[:, j]]
             v = vids[mask]
-            kk = min(k, len(v))
+            kk = min(k, n)
             sel = np.lexsort((v, -s))[:kk]
-            out_q.extend([int(q_ids[qi])] * kk)
-            out_v.extend(v[sel].tolist())
-            out_s.extend(s[sel].tolist())
+            # _probe_scan's sentinel convention: a vec_id=-1 row carries
+            # the per-(query, batch) scan count; the driver sums those
+            out_q.extend([int(q_ids[qi])] * (kk + 1))
+            out_v.extend(v[sel].tolist() + [-1])
+            out_s.extend(s[sel].tolist() + [0.0])
+            out_n.extend([0] * kk + [n])
         return pa.table({
             "query_id": pa.array(out_q, type=pa.int64()),
             "vec_id": pa.array(out_v, type=pa.int64()),
             "adc_score": pa.array(out_s, type=pa.float64()),
-            "n_scanned": pa.array([n] * len(out_q), type=pa.int64()),
+            "n_scanned": pa.array(out_n, type=pa.int64()),
         })
 
     cand = (ray.data.read_parquet(paths)
             .map_batches(score_batch, batch_format="pyarrow").to_pandas())
+    scans = (cand[cand["vec_id"] < 0].groupby("query_id")["n_scanned"].sum()
+             if len(cand) else {})
+    cand = cand[cand["vec_id"] >= 0] if len(cand) else cand
     rows = []
     for qi in range(len(qids)):
-        g = cand[cand["query_id"] == qids[qi]]
-        scanned = int(g["n_scanned"].sum()) if len(g) else 0
+        g = cand[cand["query_id"] == qids[qi]] if len(cand) else cand
         if not len(g):
             continue
+        scanned = int(scans.get(int(qids[qi]), 0))
         v = g["vec_id"].to_numpy(dtype=np.int64)
         s = g["adc_score"].to_numpy(dtype=np.float64)
         sel = np.lexsort((v, -s))[:k]
@@ -809,6 +817,13 @@ def ivfpq_knn(emb_ds, query_ids: list[int], k: int = 5, n_probe: int = 4,
         if not refine:
             return short
         sdf = short.to_pandas()
+        if not len(sdf):  # e.g. every query alone in its probed buckets
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cos_sim": pa.array([], type=pa.float64()),
+                "n_scanned": pa.array([], type=pa.int64()),
+            })
         need = np.unique(sdf["vec_id"].to_numpy(dtype=np.int64))
         need_ref = ray.put(need)
 
@@ -829,6 +844,12 @@ def ivfpq_knn(emb_ds, query_ids: list[int], k: int = 5, n_probe: int = 4,
             if not len(g):
                 continue
             v = g["vec_id"].to_numpy(dtype=np.int64)
+            # a reused layout may hold vec_ids no longer in emb_ds —
+            # drop them from the refine (stale rows, like lsh/ivf reuse)
+            present = np.array([int(x) in pos for x in v], dtype=bool)
+            v = v[present]
+            if not len(v):
+                continue
             idx = np.array([pos[int(x)] for x in v], dtype=np.int64)
             s = CE[idx] @ Qn[qi]
             sel = np.lexsort((v, -s))[:k]

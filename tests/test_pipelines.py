@@ -359,7 +359,7 @@ def test_ivfpq_layout_codes_only_and_recall_floor(ray_session, tmp_path):
     from coderag_ray.pipelines.similarity import (
         PQ_SUBSPACES, build_ivfpq_index, ivfpq_knn, knn_bruteforce)
 
-    src = "/root/testdata/sf0.001/embeddings.parquet"
+    src = f"{SF}/embeddings.parquet"
     ds = lambda: ray.data.read_parquet(src)  # noqa: E731
     idx = str(tmp_path / "ivfpq")
     build_ivfpq_index(ds(), idx)
