@@ -114,3 +114,43 @@ def test_blockmax_skips_blocks_on_selective_query(built):
         matching += r.docs_total_matching
     assert matching > 0
     assert scored < matching, (scored, matching)
+
+
+def test_blockmax_flat_impacts_ties_exact(ray_session, tmp_path):
+    """Adversarial for the strict UB<kth stop: a corpus where most
+    impacts are IDENTICAL (every doc repeats the same words the same
+    number of times) makes segment upper bounds tie with the kth score
+    everywhere — tied segments must still be scored, and the final
+    (score DESC, ordinal ASC) tie-break must match the exhaustive and
+    DAAT paths bitwise."""
+    import pyarrow as pa
+    import ray.data
+
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.index.build import build_index
+    from coderag_ray.query.wand import blockmax_topk
+
+    n = 600  # > POSTING_BLOCK so multiple blocks per term
+    docs = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "repo": pa.array(["r"] * n), "path": pa.array([f"p/{i}" for i in range(n)]),
+        "commit": pa.array([""] * n), "lang": pa.array(["text"] * n),
+        "content": pa.array(["alpha beta gamma " * 4] * n),  # identical docs
+    })
+    idx = str(tmp_path / "flat")
+    build_index(ray.data.from_arrow(docs), idx, IndexConfig(num_partitions=2))
+    reader = IndexReader(idx, preload="never")
+    tokens = dedupe_query_tokens(tokenize("alpha beta", reader.config.tokenizer))
+    idf_map = reader.idf_for_terms(tokens)
+    for k in (1, 5, 50, 600):
+        for pid in reader.partitions:
+            a = wand_topk(reader, pid, tokens, idf_map, k)
+            b = blockmax_topk(reader, pid, tokens, idf_map, k)
+            assert (a.ordinals == b.ordinals).all(), (k, pid)
+            assert (a.scores == b.scores).all(), (k, pid)
+    # search-level parity too (routes through blockmax on this cold reader)
+    sem = ["rank", "doc_id", "chunk_id", "score"]
+    warm = IndexReader(idx)
+    x = search(warm, "alpha beta", 20, with_doc_columns=False).select(sem)
+    y = search(reader, "alpha beta", 20, with_doc_columns=False, use_wand=True).select(sem)
+    assert x.equals(y)
