@@ -823,6 +823,16 @@ def q_lsh_knn(sf_dir: str):
     return lsh_knn(_embeddings(sf_dir), KNN_QUERY_IDS, KNN_K)
 
 
+def q_ivfpq_knn(sf_dir: str):
+    """IVF-PQ ANN (product-quantized residual codes + ADC probe + exact
+    refine) — the embedding-memory scale path; bench-timed and
+    pytest-floor-checked, not driver-registered (the 50-row artifact is
+    full)."""
+    from coderag_ray.pipelines.similarity import ivfpq_knn
+
+    return ivfpq_knn(_embeddings(sf_dir), KNN_QUERY_IDS, KNN_K)
+
+
 def q_ivf_knn(sf_dir: str):
     """IVF ANN (coarse k-means quantizer + bucket-partitioned layout) —
     approximate by construction → rows-only; recall and probe pruning

@@ -296,7 +296,8 @@ def run_bench() -> dict:
                      "q_events_hopping", "q_sessions", "q_text_stats",
                      "q_keywords", "q_media_features", "q_frame_sample",
                      "q_pack", "q_repetition", "q_mixture", "q_split", "q_redact",
-                     "q_asof", "q_range_join", "q_temporal_join"):
+                     "q_asof", "q_range_join", "q_temporal_join",
+                     "q_ivfpq_knn"):
             t0 = time.perf_counter()
             out = getattr(entrymod, name)(SF_DIR)
             if hasattr(out, "to_pandas"):
