@@ -140,3 +140,66 @@ def test_brace_chunker_exact_partition_any_input(text, lang, max_size):
     for c in chunks:
         assert len(c.content) <= max_size
         assert 1 <= c.start_line <= c.end_line
+
+
+# ---------------------------------------------------------------------------
+# temporal joins: property-tested against a row-at-a-time reference
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _events_tables(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    users = draw(st.lists(st.integers(min_value=0, max_value=3),
+                          min_size=n, max_size=n))
+    # tiny timestamp domain → dense exact ties at probe==ref boundaries
+    ts = draw(st.lists(st.integers(min_value=0, max_value=12),
+                       min_size=n, max_size=n))
+    kinds = draw(st.lists(st.sampled_from(["purchase", "view", "click"]),
+                          min_size=n, max_size=n))
+    vals = draw(st.lists(st.floats(min_value=0, max_value=10,
+                                   allow_nan=False, width=32),
+                         min_size=n, max_size=n))
+    import pandas as pd
+    import pyarrow as pa
+    return pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(pd.to_datetime([t * 1_000_000 for t in ts], unit="us")
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(users, type=pa.int64()),
+        "event_type": pa.array(kinds),
+        "value": pa.array([round(v, 3) for v in vals], type=pa.float64()),
+    })
+
+
+@settings(max_examples=30, deadline=None)
+@given(tbl=_events_tables(), w=st.integers(min_value=1, max_value=8))
+def test_temporal_join_property_vs_rowwise_reference(ray_session, tbl, w):
+    """For ANY event stream and window width, the single-exchange
+    temporal_join equals the row-at-a-time definition: as-of = same-user
+    latest view at-or-before (ties → larger event_id); range = same-user
+    views in [t-W, t)."""
+    import ray.data
+
+    from coderag_ray.pipelines.events import temporal_join
+
+    out = (temporal_join(ray.data.from_arrow(tbl), window_seconds=w, n_buckets=2)
+           .to_pandas().set_index("event_id").sort_index())
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    probes = df[df.event_type == "purchase"]
+    refs = df[df.event_type == "view"]
+    assert len(out) == len(probes)
+    for _, p in probes.iterrows():
+        got = out.loc[p.event_id]
+        cand = refs[(refs.user_id == p.user_id) & (refs.ts_us <= p.ts_us)]
+        if cand.empty:
+            assert got.ref_event_id == -1 and got.lag_us == -1
+        else:
+            best = cand.sort_values(["ts_us", "event_id"]).iloc[-1]
+            assert got.ref_event_id == best.event_id
+            assert got.lag_us == p.ts_us - best.ts_us
+        lo, hi = p.ts_us - w * 1_000_000, p.ts_us
+        win = refs[(refs.user_id == p.user_id)
+                   & (refs.ts_us >= lo) & (refs.ts_us < hi)]
+        assert got.n_ref == len(win)
+        assert abs(got.sum_ref_value - round(float(win.value.sum()), 6)) < 1e-6
