@@ -9,6 +9,8 @@ character fallback chunker (``packages/core/src/embeddings.ts:266-296``,
 
 from __future__ import annotations
 
+import logging
+from contextlib import contextmanager
 from dataclasses import dataclass, field, asdict
 from typing import Any
 
@@ -43,24 +45,61 @@ def auto_concurrency(lo: int = 2, cap: int | None = None) -> tuple[int, int]:
     return (lo, max(lo, n))
 
 
-def dataset_rows_estimate(ds) -> int:
-    """Row count for sizing heuristics: parquet footer metadata via
-    ``input_files()`` when the dataset is a fresh read, ``count()``
-    otherwise.  For a DERIVED dataset the footer path returns the
-    pre-transform size — fine for bucket sizing, where overcounting is
-    conservative.
+class _SchemaHashWarningFilter(logging.Filter):
+    """Drops the cosmetic "Failed to hash the schemas" WARNING Ray's
+    metadata probes emit whenever a parquet schema carries pandas
+    metadata (an unhashable dict inside Ray's schema-dedup).  A FILTER,
+    not a ``setLevel`` — level mutation raced concurrent callers and
+    suppressed unrelated messages (ADVICE r4)."""
 
-    Ray's metadata fetch logs a cosmetic "Failed to hash the schemas"
-    WARNING whenever the parquet schema carries pandas metadata (an
-    unhashable dict inside Ray's schema-dedup) — it fires even on a
-    bare ``count()`` and there is no public API to strip metadata at
-    the read, so that one logger is silenced around the probe."""
-    import logging
+    def filter(self, record: logging.LogRecord) -> bool:
+        return "Failed to hash the schemas" not in record.getMessage()
 
+
+@contextmanager
+def _schema_hash_warning_silenced():
     lg = logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow")
-    old_level = lg.level
-    lg.setLevel(logging.ERROR)
+    f = _SchemaHashWarningFilter()
+    lg.addFilter(f)
     try:
+        yield
+    finally:
+        lg.removeFilter(f)
+
+
+def dataset_rows_estimate(ds) -> int:
+    """Row count for sizing heuristics, WITHOUT executing the dataset's
+    plan (ADVICE r4: the old ``ds.count()`` fallback executed the entire
+    upstream pipeline once just to pick a bucket count, then the
+    pipeline ran again for real).  Resolution order:
+
+    1. the plan's snapshot metadata (``from_arrow``/``from_pandas``/
+       materialized datasets and bare reads — free);
+    2. the source ``Read`` op's lazy file metadata (works for DERIVED
+       datasets too; returns the PRE-transform size, conservative for
+       bucket sizing where overcounting is safe);
+    3. parquet footers via ``input_files()``;
+    4. ``count()`` — but only when the plan is a bare source read (the
+       count executes just the read).  A derived dataset whose source
+       metadata is unknown (e.g. ``read_json`` → transforms) returns 0
+       (→ the caller's ``lo`` default) — such callers should pass a
+       precomputed row count to :func:`auto_buckets` instead."""
+    with _schema_hash_warning_silenced():
+        try:
+            mc = ds._meta_count()
+            if mc:
+                return int(mc)
+        except Exception:
+            pass
+        try:
+            op = ds._logical_plan.dag
+            while op.input_dependencies:
+                op = op.input_dependencies[0]
+            m = op.infer_metadata()  # metadata-only, no execution
+            if m.num_rows:
+                return int(m.num_rows)
+        except Exception:
+            pass
         try:
             files = [f for f in ds.input_files() if f.endswith(".parquet")]
             if files:
@@ -70,11 +109,11 @@ def dataset_rows_estimate(ds) -> int:
         except Exception:
             pass
         try:
-            return int(ds.count())
+            if not ds._logical_plan.dag.input_dependencies:
+                return int(ds.count())
         except Exception:
-            return 0
-    finally:
-        lg.setLevel(old_level)
+            pass
+        return 0
 
 
 def auto_buckets(rows_or_ds, target_rows: int = 2_000_000,

@@ -19,9 +19,17 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from coderag_ray.functions.datasets import schema_stable
 from coderag_ray.functions.rounding import round6
 
 REASONS = ("kept", "low_quality", "duplicate", "contaminated")
+
+CURATE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_words", pa.int64()),
+    ("stopword_ratio", pa.float64()), ("is_keeper", pa.bool_()),
+    ("contaminated", pa.bool_()), ("kept", pa.bool_()),
+    ("reason", pa.string()),
+])
 
 
 def curate(docs_ds, *, min_words: int = 10, max_stopword_ratio: float = 0.7,
@@ -43,8 +51,9 @@ def curate(docs_ds, *, min_words: int = 10, max_stopword_ratio: float = 0.7,
         batch_format="pyarrow",
     ).to_pandas()  # benchmark docs only — small by definition
     bench_set = set()
-    for text in bench["text"]:
-        bench_set |= _word_shingles(text, ngram)
+    if "text" in bench.columns:  # empty corpus → column-less frame
+        for text in bench["text"]:
+            bench_set |= _word_shingles(text, ngram)
     bench_ref = ray.put(bench_set)
 
     import zlib
@@ -100,8 +109,9 @@ def curate(docs_ds, *, min_words: int = 10, max_stopword_ratio: float = 0.7,
             }
         )
 
-    return (
+    return schema_stable(
         docs_ds.map_batches(signals, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(verdict_bucket, batch_format="pandas")
+        .map_groups(verdict_bucket, batch_format="pandas"),
+        CURATE_SCHEMA,
     )

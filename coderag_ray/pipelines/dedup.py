@@ -31,6 +31,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 
+from coderag_ray.functions.datasets import schema_stable
 from coderag_ray.functions.rounding import round6
 from coderag_ray.functions.tokenizer import ascii_ws_words
 import pyarrow as pa
@@ -38,6 +39,24 @@ import pyarrow.compute as pc
 
 WS_SPLIT = r"\s+"
 MINHASH_PERMS = 64
+
+# declared output schemas for the Dataset-returning pipelines — each
+# ends in schema_stable() so empty/degenerate inputs keep the documented
+# columns (Ray drops empty map_groups blocks; see functions/datasets.py)
+EXACT_DEDUP_SCHEMA = pa.schema([
+    ("content_sha256", pa.string()), ("n_copies", pa.int64()),
+    ("keeper_doc_id", pa.int64()),
+])
+PAIR_SCORE_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_common", pa.int64()),
+    ("n_a", pa.int64()), ("n_b", pa.int64()), ("jaccard", pa.float64()),
+])
+SIMHASH_SCHEMA = pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())])
+EMB_DUP_SCHEMA = pa.schema([
+    ("label", pa.int64()), ("vec_a", pa.int64()), ("vec_b", pa.int64()),
+    ("cos_sim", pa.float64()),
+])
+CLUSTER_SCHEMA = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
 
 # ds.stats() of the last minhash_lsh_pairs run's verify wave — the
 # per-operator wall/CPU audit; printed by CODERAG_BENCH_STATS=1 bench.py
@@ -130,10 +149,11 @@ def exact_dedup(docs_ds):
             "keeper_doc_id": pa.array(a["keeper_doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
         })
 
-    return (
+    return schema_stable(
         docs_ds.map_batches(add_sha, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(agg_bucket, batch_format="pandas")
+        .map_groups(agg_bucket, batch_format="pandas"),
+        EXACT_DEDUP_SCHEMA,
     )
 
 
@@ -301,10 +321,11 @@ def _ngram_pair_scores(docs_ds, n: int = 3,
             agg[c] = agg[c].astype(np.int64)
         return _from_pandas(agg[["doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"]])
 
-    return (
+    return schema_stable(
         pair_rows.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(merge_bucket, batch_format="pandas")
+        .map_groups(merge_bucket, batch_format="pandas"),
+        PAIR_SCORE_SCHEMA,
     )
 
 
@@ -455,13 +476,18 @@ def _cc_star_rounds(edges_ds, num_buckets: int = 256, max_rounds: int = 64):
     return cur
 
 
-def clusters_from_edges_ds(edges_ds, edge_budget: int = 5_000_000) -> pa.Table:
+def clusters_from_edges_ds(edges_ds, edge_budget: int = 5_000_000):
     """(doc_id, cluster_id) connected components for a canonical edge
-    Dataset — driver union-find below ``edge_budget`` edges, the
-    distributed star-contraction loop (:func:`_cc_star_rounds`) above
-    it.  Identical output either way: cluster_id = min reachable id."""
+    Dataset — driver union-find below ``edge_budget`` edges (returns a
+    pyarrow Table), the distributed star-contraction loop
+    (:func:`_cc_star_rounds`) above it (returns a sorted DATASET — the
+    label set is dup-rate-sized, unbounded at 100 TB, so it never
+    materializes on the driver; VERDICT r4 item 3).  Identical values
+    either way: cluster_id = min reachable id, rows sorted by doc_id."""
     edges_ds = edges_ds.materialize()  # duplicate-rate-sized, reused twice
     n_edges = edges_ds.count()
+    if n_edges == 0:  # to_pandas drops columns on 0-row datasets
+        return CLUSTER_SCHEMA.empty_table()
     if n_edges <= edge_budget:
         edges = edges_ds.to_pandas()
         return clusters_from_pairs(pa.table({
@@ -482,13 +508,35 @@ def clusters_from_edges_ds(edges_ds, edge_budget: int = 5_000_000) -> pa.Table:
             "cluster_id": pa.array(np.r_[a, a], type=pa.int64()),
         })
 
-    out = (stars.map_batches(to_labels, batch_format="pyarrow")
-           .to_pandas().drop_duplicates()
-           .sort_values("doc_id").reset_index(drop=True))  # result-sized
-    return pa.table({
-        "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
-        "cluster_id": pa.array(out["cluster_id"].to_numpy(dtype=np.int64), type=pa.int64()),
-    })
+    # dedup the (doc, root) labels with one more bucketed groupby (a doc
+    # appears once per incident star edge) and sort DISTRIBUTED — the
+    # driver never holds the label table
+    from coderag_ray.functions.hashing import splitmix64
+
+    nb_label = np.uint64(auto_buckets(n_edges, target_rows=2_000_000))
+
+    def add_label_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__bucket",
+                               pa.array((splitmix64(d) % nb_label).astype(np.int32)))
+
+    def dedup_labels(g: pd.DataFrame) -> pa.Table:
+        u = g.drop_duplicates("doc_id")  # one root per doc post-convergence
+        return pa.table({
+            "doc_id": pa.array(u["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "cluster_id": pa.array(u["cluster_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+        })
+
+    from coderag_ray.functions.datasets import schema_stable
+
+    return schema_stable(
+        stars.map_batches(to_labels, batch_format="pyarrow")
+        .map_batches(add_label_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedup_labels, batch_format="pandas")
+        .sort("doc_id"),
+        CLUSTER_SCHEMA,
+    )
 
 
 def near_dup_clusters(docs_ds, threshold: float = 0.5, n: int = 3,
@@ -929,7 +977,8 @@ def simhash_batch(t: pa.Table) -> pa.Table:
 
 
 def simhash_table(docs_ds):
-    return docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return schema_stable(docs_ds.map_batches(simhash_batch, batch_format="pyarrow"),
+                         SIMHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -972,4 +1021,6 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.25):
             }
         )
 
-    return emb_ds.groupby("label").map_groups(pairs, batch_format="pandas")
+    return schema_stable(
+        emb_ds.groupby("label").map_groups(pairs, batch_format="pandas"),
+        EMB_DUP_SCHEMA)

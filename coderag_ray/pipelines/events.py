@@ -15,10 +15,41 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from coderag_ray.functions.datasets import schema_stable
 from coderag_ray.functions.rounding import round6
 
 TUMBLE_SECONDS = 3600
 SESSION_GAP_SECONDS = 1800
+
+# Declared output schemas — every pipeline here ends in schema_stable()
+# so an empty/degenerate input (e.g. zero probe events) still returns a
+# Dataset with the documented columns (round-4 verdict item 1: Ray drops
+# empty map_groups blocks, leaving a schema-less dataset).
+WINDOW_SCHEMA = pa.schema([
+    ("event_type", pa.string()), ("window_start", pa.int64()),
+    ("n_events", pa.int64()), ("sum_value", pa.float64()),
+])
+SESSION_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("session_id", pa.int64()),
+    ("session_start", pa.int64()), ("n_events", pa.int64()),
+])
+ASOF_SCHEMA = pa.schema([
+    ("event_id", pa.int64()), ("user_id", pa.int64()), ("ts_us", pa.int64()),
+    ("value", pa.float64()), ("ref_event_id", pa.int64()), ("lag_us", pa.int64()),
+])
+RANGE_SCHEMA = pa.schema([
+    ("event_id", pa.int64()), ("user_id", pa.int64()), ("ts_us", pa.int64()),
+    ("n_ref", pa.int64()), ("sum_ref_value", pa.float64()),
+])
+TEMPORAL_SCHEMA = pa.schema([
+    ("event_id", pa.int64()), ("user_id", pa.int64()), ("ts_us", pa.int64()),
+    ("value", pa.float64()), ("ref_event_id", pa.int64()), ("lag_us", pa.int64()),
+    ("n_ref", pa.int64()), ("sum_ref_value", pa.float64()),
+])
+PROPS_SCHEMA = pa.schema([
+    ("event_type", pa.string()), ("n_events", pa.int64()),
+    ("sum_k", pa.int64()), ("max_k", pa.int64()),
+])
 
 
 def tumbling_window(events_ds, seconds: int = TUMBLE_SECONDS):
@@ -47,7 +78,8 @@ def tumbling_window(events_ds, seconds: int = TUMBLE_SECONDS):
         sv = round6(t["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64))
         return t.set_column(t.schema.get_field_index("sum_value"), "sum_value", pa.array(sv))
 
-    return agg.map_batches(final, batch_format="pyarrow")
+    return schema_stable(agg.map_batches(final, batch_format="pyarrow"),
+                         WINDOW_SCHEMA)
 
 
 def hopping_window(events_ds, width_seconds: int = TUMBLE_SECONDS,
@@ -101,7 +133,8 @@ def hopping_window(events_ds, width_seconds: int = TUMBLE_SECONDS,
         sv = round6(t["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64))
         return t.set_column(t.schema.get_field_index("sum_value"), "sum_value", pa.array(sv))
 
-    return agg.map_batches(final, batch_format="pyarrow")
+    return schema_stable(agg.map_batches(final, batch_format="pyarrow"),
+                         WINDOW_SCHEMA)
 
 
 def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS):
@@ -187,10 +220,11 @@ def session_windows(events_ds, gap_seconds: int = SESSION_GAP_SECONDS):
             "n_events": pa.array(np.add.reduceat(cnt, starts), type=pa.int64()),
         })
 
-    return (
+    return schema_stable(
         events_ds.map_batches(batch_islands, batch_format="pyarrow")
         .groupby("ubucket")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pandas"),
+        SESSION_SCHEMA,
     )
 
 
@@ -274,8 +308,9 @@ def asof_join(events_ds, probe_type: str = ASOF_PROBE_TYPE,
             "lag_us": pa.array(lag),
         })
 
-    return _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets) \
-        .map_groups(merge, batch_format="pandas")
+    return schema_stable(
+        _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets)
+        .map_groups(merge, batch_format="pandas"), ASOF_SCHEMA)
 
 
 def _group_arrays(g: pd.DataFrame):
@@ -340,8 +375,9 @@ def range_join_agg(events_ds, probe_type: str = ASOF_PROBE_TYPE,
             "sum_ref_value": pa.array(sum_v, type=pa.float64()),
         })
 
-    return _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets) \
-        .map_groups(merge, batch_format="pandas")
+    return schema_stable(
+        _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets)
+        .map_groups(merge, batch_format="pandas"), RANGE_SCHEMA)
 
 
 def _range_sweep(eid, u, ts, val, isp, win_us):
@@ -411,8 +447,9 @@ def temporal_join(events_ds, probe_type: str = ASOF_PROBE_TYPE,
             "sum_ref_value": pa.array(sum_v[orr], type=pa.float64()),
         })
 
-    return _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets) \
-        .map_groups(merge, batch_format="pandas")
+    return schema_stable(
+        _bucketed_two_type(events_ds, probe_type, ref_type, n_buckets)
+        .map_groups(merge, batch_format="pandas"), TEMPORAL_SCHEMA)
 
 
 def props_stats(events_ds):
@@ -435,9 +472,10 @@ def props_stats(events_ds):
         )
         return pa.table({"event_type": t["event_type"], "k": pa.array(ks)})
 
-    return (
+    return schema_stable(
         events_ds.map_batches(parse, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Count(alias_name="n_events"), Sum("k", alias_name="sum_k"),
-                   Max("k", alias_name="max_k"))
+                   Max("k", alias_name="max_k")),
+        PROPS_SCHEMA,
     )

@@ -19,7 +19,19 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from coderag_ray.functions.datasets import schema_stable
+
 KNUTH = 2654435761  # golden-ratio multiplicative constant
+
+# declared output schemas — every sampler is filter-shaped (can drop all
+# rows), so each ends in schema_stable() to keep the documented columns
+# on empty results (Ray drops empty blocks; see functions/datasets.py)
+SAMPLE_SCHEMA = pa.schema([("doc_id", pa.int64()), ("bucket", pa.int64())])
+SPLIT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("bucket", pa.int64()),
+                          ("split", pa.string())])
+MIXTURE_SCHEMA = pa.schema([("doc_id", pa.int64()), ("group", pa.string()),
+                            ("bucket", pa.int64())])
+LANG_QUOTA_SCHEMA = pa.schema([("doc_id", pa.int64()), ("lang_pred", pa.string())])
 
 
 def hash_sample(docs_ds, rate: int = 10):
@@ -42,7 +54,8 @@ def hash_sample(docs_ds, rate: int = 10):
             "bucket": pa.array(bucket[mask], type=pa.int64()),
         })
 
-    return docs_ds.map_batches(keep, batch_format="pyarrow")
+    return schema_stable(docs_ds.map_batches(keep, batch_format="pyarrow"),
+                         SAMPLE_SCHEMA)
 
 
 def train_val_test_split(docs_ds, val_pct: int = 10, test_pct: int = 10):
@@ -67,7 +80,8 @@ def train_val_test_split(docs_ds, val_pct: int = 10, test_pct: int = 10):
             "split": pa.array(split.tolist(), type=pa.string()),
         })
 
-    return docs_ds.map_batches(assign, batch_format="pyarrow")
+    return schema_stable(docs_ds.map_batches(assign, batch_format="pyarrow"),
+                         SPLIT_SCHEMA)
 
 
 def mixture_sample(docs_ds, group_col: str = "source"):
@@ -87,11 +101,9 @@ def mixture_sample(docs_ds, group_col: str = "source"):
     counts = {r[group_col]: r["count()"]
               for r in docs_ds.groupby(group_col).aggregate(Count()).take_all()}
     if not counts:
-        return docs_ds.map_batches(
-            lambda t: pa.table({"doc_id": pa.array([], type=pa.int64()),
-                                "group": pa.array([], type=pa.string()),
-                                "bucket": pa.array([], type=pa.int64())}),
-            batch_format="pyarrow")
+        return schema_stable(docs_ds.map_batches(
+            lambda t: MIXTURE_SCHEMA.empty_table(), batch_format="pyarrow"),
+            MIXTURE_SCHEMA)
     m = min(counts.values())
     rates = {g: (100 * m) // c for g, c in counts.items()}  # percent, floor
 
@@ -108,7 +120,8 @@ def mixture_sample(docs_ds, group_col: str = "source"):
             "bucket": pa.array(bucket[mask], type=pa.int64()),
         })
 
-    return docs_ds.map_batches(keep, batch_format="pyarrow")
+    return schema_stable(docs_ds.map_batches(keep, batch_format="pyarrow"),
+                         MIXTURE_SCHEMA)
 
 
 def lang_quota_sample(docs_ds, quota: int = 20):
@@ -149,10 +162,11 @@ def lang_quota_sample(docs_ds, quota: int = 20):
             "lang_pred": pa.array(g["lang_pred"].tolist(), type=pa.string()),
         })
 
-    return (
+    return schema_stable(
         docs_ds.map_batches(LangIdStage, batch_format="pyarrow",
                             concurrency=auto_concurrency())
         .map_batches(local_quota, batch_format="pyarrow")
         .groupby("lang_pred")
-        .map_groups(head_quota, batch_format="pandas")
+        .map_groups(head_quota, batch_format="pandas"),
+        LANG_QUOTA_SCHEMA,
     )

