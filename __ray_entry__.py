@@ -203,6 +203,67 @@ def q_postings(sf_dir: str):
     return _stage_pipeline(sf_dir, CFG_SIMPLE).map_batches(explode, batch_format="pyarrow")
 
 
+def q_blockmax(sf_dir: str):
+    """Block-max skip metadata read back from the BUILT index layout —
+    one row per (part_id, term, posting block): the stored skip entry's
+    last posting identity (its (doc_id, chunk_id), resolved from the
+    partition's ordinal-aligned docs.parquet), block max term frequency
+    and block min doc length.  These are exactly the per-block facts
+    :func:`coderag_ray.functions.bm25.block_max_bound` and the WAND
+    scorer (query/wand.py) prune with — the north rule's "block-max skip
+    metadata", oracle-checked: the SQL side re-derives every block from
+    the raw text (chunker + tokenizer + splitmix64 routing + 128-posting
+    blocking in pure SQL).  A wrong block boundary, max, or ordinal
+    mapping hash-mismatches."""
+    import pyarrow.parquet as pq
+
+    from coderag_ray.index.reader import IndexReader
+
+    idx = _index_for(sf_dir, CFG_SIMPLE)
+    reader = IndexReader(idx)
+    parts = []
+    for pid in reader.partitions:
+        post = pq.read_table(
+            os.path.join(reader.part_dir(pid), "postings.parquet"),
+            columns=["term", "block_last_ord", "block_max_freq", "block_min_dl"])
+        if post.num_rows == 0:
+            continue
+        docs = pq.read_table(os.path.join(reader.part_dir(pid), "docs.parquet"),
+                             columns=["doc_id", "chunk_id"])
+        did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = docs["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blo = post["block_last_ord"].combine_chunks()
+        nblk = pc.list_value_length(blo).to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(post.num_rows, dtype=np.int64), nblk)
+        starts = np.concatenate([[0], np.cumsum(nblk)[:-1]])
+        block_id = np.arange(int(nblk.sum()), dtype=np.int64) - np.repeat(starts, nblk)
+        last_ord = blo.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        maxf = post["block_max_freq"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mindl = post["block_min_dl"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parts.append(pa.table({
+            "part_id": pa.array(np.full(len(parents), pid, dtype=np.int64), type=pa.int64()),
+            "term": post["term"].take(pa.array(parents)),
+            "block_id": pa.array(block_id, type=pa.int64()),
+            "last_doc_id": pa.array(did[last_ord], type=pa.int64()),
+            "last_chunk_id": pa.array(cid[last_ord], type=pa.int64()),
+            "max_freq": pa.array(maxf, type=pa.int64()),
+            "min_dl": pa.array(mindl, type=pa.int64()),
+        }))
+    if not parts:
+        return pa.table({"part_id": pa.array([], type=pa.int64()),
+                         "term": pa.array([], type=pa.string()),
+                         "block_id": pa.array([], type=pa.int64()),
+                         "last_doc_id": pa.array([], type=pa.int64()),
+                         "last_chunk_id": pa.array([], type=pa.int64()),
+                         "max_freq": pa.array([], type=pa.int64()),
+                         "min_dl": pa.array([], type=pa.int64())})
+    out = pa.concat_tables(parts)
+    return out.sort_by([("part_id", "ascending"), ("term", "ascending"),
+                        ("block_id", "ascending")])
+
+
 def q_term_df(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -851,6 +912,9 @@ def q_ivf_knn(sf_dir: str):
 # 0.74-0.84 across scales
 LSH_RECALL_FLOOR = 0.6
 IVF_RECALL_FLOOR = 0.6
+# IVF-PQ refines its ADC shortlist with exact cosine, so its recall at
+# the oracle scales tracks IVF's (measured 0.72-0.86 at sf0.001/0.01)
+IVFPQ_RECALL_FLOOR = 0.6
 MINHASH_RECALL_FLOOR = 0.9
 
 
@@ -901,6 +965,29 @@ def q_ivf_recall(sf_dir: str):
     """IVF-kNN quality invariant vs the exact scan — recall@k floor
     0.55."""
     return _ann_recall_table(sf_dir, q_ivf_knn, IVF_RECALL_FLOOR)
+
+
+def q_ivfpq_recall(sf_dir: str):
+    """IVF-PQ quality invariant vs the exact scan (VERDICT r4 item 4 —
+    the one ANN without a frozen recall floor): recall@k floor 0.6,
+    self-exclusion, ordering."""
+    return _ann_recall_table(sf_dir, q_ivfpq_knn, IVFPQ_RECALL_FLOOR)
+
+
+def q_ann_recall(sf_dir: str):
+    """ALL THREE ANN quality invariants in one driver row (the q_media
+    consolidation pattern): LSH, IVF and IVF-PQ each produce their
+    :func:`_ann_recall_table` verdict rows, tagged by an ``ann`` column
+    and ordered (ann, query_id).  The SQL oracle recomputes the exact
+    side once and pins the booleans per variant — any variant's recall
+    regression below its frozen floor hash-mismatches this row."""
+    parts = []
+    for tag, fn in (("ivf", q_ivf_recall), ("ivfpq", q_ivfpq_recall),
+                    ("lsh", q_lsh_recall)):
+        t = fn(sf_dir)
+        parts.append(t.add_column(0, "ann", pa.array([tag] * t.num_rows,
+                                                     type=pa.string())))
+    return pa.concat_tables(parts)
 
 
 def q_minhash_recall(sf_dir: str):
@@ -1117,15 +1204,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Exactly 50 registered queries — the r3 driver artifact recorded
     only the first 50 dict entries, so the full operator surface is
     packed into 50 rows: the two temporal joins run combined as
-    ``q_temporal_join``, the three media stages as ``q_media``, and the
-    rows-only ``q_lsh_knn``/``q_ivf_knn``/``q_simhash`` are covered by
-    their hash-checked invariant oracles (``q_lsh_recall``/
-    ``q_ivf_recall``/``q_simhash_dup``) which execute the same
-    operators.  Every standalone callable (q_asof, q_range_join,
+    ``q_temporal_join``, the three media stages as ``q_media``, the
+    three ANN quality invariants as ``q_ann_recall`` (LSH + IVF +
+    IVF-PQ — each a hash-checked recall-floor/ordering verdict vs the
+    exact scan), and the rows-only ``q_lsh_knn``/``q_ivf_knn``/
+    ``q_ivfpq_knn``/``q_simhash`` are covered by those invariants plus
+    ``q_simhash_dup``.  ``q_blockmax`` SQL-verifies the index's
+    block-max skip metadata (the WAND pruning structure) from first
+    principles.  Every standalone callable (q_asof, q_range_join,
     q_media_features, q_frame_sample, q_media_resize, q_lsh_knn,
-    q_ivf_knn, q_simhash) still exists with its own oracle in
-    ``EXTRA_QUERIES``/``EXTRA_ORACLES`` and is checked by
-    scripts/check_oracles.py (CORRECTNESS_SELF artifact)."""
+    q_ivf_knn, q_simhash, q_lsh_recall, q_ivf_recall, q_ivfpq_recall)
+    still exists with its own oracle in ``EXTRA_QUERIES``/
+    ``EXTRA_ORACLES`` and is checked by scripts/check_oracles.py
+    (CORRECTNESS_SELF artifact)."""
     return {
         "q_chunk_stats": q_chunk_stats,
         "q_doc_stats": q_doc_stats,
@@ -1167,8 +1258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": q_minhash_pairs,
         "q_embdup": q_embdup,
         "q_knn": q_knn,
-        "q_lsh_recall": q_lsh_recall,
-        "q_ivf_recall": q_ivf_recall,
+        "q_ann_recall": q_ann_recall,
+        "q_blockmax": q_blockmax,
         "q_minhash_recall": q_minhash_recall,
         "q_simhash_dup": q_simhash_dup,
         "q_events_window": q_events_window,
@@ -1193,6 +1284,11 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "q_lsh_knn": q_lsh_knn,
         "q_ivf_knn": q_ivf_knn,
         "q_simhash": q_simhash,
+        # standalone per-variant recall invariants (the driver row runs
+        # all three combined as q_ann_recall)
+        "q_lsh_recall": q_lsh_recall,
+        "q_ivf_recall": q_ivf_recall,
+        "q_ivfpq_recall": q_ivfpq_recall,
     }
 
 
@@ -1274,6 +1370,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_media_features": _MEDIA_FEATURES_SQL,
         "q_frame_sample": _FRAME_SAMPLE_SQL,
         "q_media_resize": _MEDIA_RESIZE_SQL,
+        "q_lsh_recall": _ANN_RECALL_SQL,
+        "q_ivf_recall": _ANN_RECALL_SQL,
+        "q_ivfpq_recall": _ANN_RECALL_SQL,
     }
 
 # exact-kNN side of the ANN quality invariants (q_lsh_recall /
@@ -1860,8 +1959,6 @@ SELECT query_id, vec_id, round(sim, 6) AS cos_sim
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s)
 WHERE rn <= {KNN_K}
 """,
-        "q_lsh_recall": _ANN_RECALL_SQL,
-        "q_ivf_recall": _ANN_RECALL_SQL,
         "q_simhash_dup": """
 WITH s AS (SELECT doc_id, sha256(text) AS sha FROM documents),
 g AS (SELECT sha, count(*) AS n FROM s GROUP BY sha)
@@ -2048,4 +2145,66 @@ WHERE rn <= {TOPK} ORDER BY query_id, rn
 """
     # fusion degeneracy: vector_weight=0 hybrid == the BM25 ranking
     d["q_hybrid_bm25_edge"] = d["q_bm25_topk"]
+    # the three ANN quality invariants in one row: same exact-kNN facts
+    # as _ANN_RECALL_SQL, cross-joined with the variant tags
+    d["q_ann_recall"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {len(KNN_QUERY_IDS)}),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM s),
+x AS (SELECT query_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(min(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT) AS exact_top1
+      FROM r WHERE rn <= {KNN_K} GROUP BY query_id)
+SELECT ann, query_id, n_exact, exact_top1,
+       true AS self_excluded_ok, true AS ordered_ok, true AS mean_recall_ok
+FROM x CROSS JOIN (VALUES ('ivf'), ('ivfpq'), ('lsh')) v(ann)
+ORDER BY ann, query_id
+"""
+    # block-max skip metadata re-derived from the raw text: chunker +
+    # tokenizer (_CORE) + splitmix64 partition routing (HUGEINT limb
+    # arithmetic, same as q_partition_routing) + 128-posting blocking.
+    # Per (part, term) postings are ordinal-ordered = (doc_id, chunk_id)
+    # order within the partition; block boundary every 128 postings.
+    d["q_blockmax"] = _CORE + f"""
+, hc AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64, CAST(4294967296 AS HUGEINT) AS m32,
+             CAST(13787848793156543929 AS HUGEINT) AS c1, CAST(10723151780598845931 AS HUGEINT) AS c2),
+hs0 AS (SELECT doc_id, (CAST(doc_id AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT)) % m64 AS z,
+              m64, m32, c1, c2
+       FROM (SELECT DISTINCT doc_id FROM ch) CROSS JOIN hc),
+hx1 AS (SELECT doc_id, xor(z, z >> 30) AS x, m64, m32, c1, c2 FROM hs0),
+hs1 AS (SELECT doc_id,
+              ((x % m32) * (c1 % m32)
+               + (((x % m32) * (c1 // m32) + (x // m32) * (c1 % m32)) % m32) * m32) % m64 AS z,
+              m64, m32, c2 FROM hx1),
+hx2 AS (SELECT doc_id, xor(z, z >> 27) AS x, m64, m32, c2 FROM hs1),
+hs2 AS (SELECT doc_id,
+              ((x % m32) * (c2 % m32)
+               + (((x % m32) * (c2 // m32) + (x // m32) * (c2 % m32)) % m32) * m32) % m64 AS z,
+              m64 FROM hx2),
+pr AS (SELECT doc_id, CAST(xor(z, z >> 31) % {CFG_SIMPLE.num_partitions} AS BIGINT) AS part_id FROM hs2),
+pp AS (
+  SELECT pr.part_id, post.term, post.doc_id, post.chunk_id, post.raw_freq,
+         tc.token_count AS dl,
+         row_number() OVER (PARTITION BY pr.part_id, post.term
+                            ORDER BY post.doc_id, post.chunk_id) - 1 AS pos
+  FROM post
+  JOIN pr ON pr.doc_id = post.doc_id
+  JOIN tc ON tc.doc_id = post.doc_id AND tc.chunk_id = post.chunk_id),
+blk AS (
+  SELECT part_id, term, pos // 128 AS block_id, doc_id, chunk_id, raw_freq, dl,
+         row_number() OVER (PARTITION BY part_id, term, pos // 128
+                            ORDER BY pos DESC) AS rn_desc
+  FROM pp)
+SELECT part_id, term, CAST(block_id AS BIGINT) AS block_id,
+       CAST(max(CASE WHEN rn_desc = 1 THEN doc_id END) AS BIGINT) AS last_doc_id,
+       CAST(max(CASE WHEN rn_desc = 1 THEN chunk_id END) AS BIGINT) AS last_chunk_id,
+       CAST(max(raw_freq) AS BIGINT) AS max_freq,
+       CAST(min(dl) AS BIGINT) AS min_dl
+FROM blk GROUP BY 1, 2, 3 ORDER BY part_id, term, block_id
+"""
     return d

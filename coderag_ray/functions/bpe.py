@@ -196,14 +196,18 @@ def loaded_tokenizer(vocab_path: str):
     if _is_hf_tokenizer_json(vocab_path):
         try:
             return HFTokenizerAdapter(vocab_path)
-        except ImportError:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "%s looks like a HuggingFace tokenizer.json but the "
-                "'tokenizers' runtime is not installed — using the "
-                "deterministic offline BPE instead", vocab_path)
-            return default_tokenizer()
+        except ImportError as exc:
+            # LOUD by design (ADVICE r4): silently substituting the
+            # built-in vocabulary would answer queries against an index
+            # built elsewhere with a completely different tokenizer —
+            # degraded results with no error is the worst failure mode.
+            raise RuntimeError(
+                f"{vocab_path} is a HuggingFace tokenizer.json but the "
+                "'tokenizers' runtime is not installed — refusing to "
+                "substitute the built-in vocabulary (a query/index "
+                "tokenizer mismatch must be loud). Install 'tokenizers' "
+                "or point bpe_vocab_path at an offline merge-table file."
+            ) from exc
     return BPETokenizer.load(vocab_path)
 
 

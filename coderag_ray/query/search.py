@@ -600,6 +600,10 @@ class BatchScorer:
         # short-lived pool actors default to lazy reads unless the caller
         # opts into the resident preload ("auto"/"never" per IndexReader)
         self.reader = IndexReader(index_dir, preload=preload)
+        # overlap the resident preload with pool spin-up / first feed —
+        # the first query blocks on the preload lock only for whatever
+        # build time remains (VERDICT r4 item 6)
+        self.reader.preload_async()
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -31,6 +31,9 @@ class ShardActor:
         from coderag_ray.index.reader import IndexReader
 
         self.reader = IndexReader(index_dir, preload=preload, partitions=partitions)
+        # all shards preload concurrently while the searcher waits on
+        # ping(); the first query pays only the remainder
+        self.reader.preload_async()
 
     def ping(self) -> bool:
         return True

@@ -67,10 +67,15 @@ class BpeTokenizeStage:
     object-store hop only on this tokenizer)."""
 
     def __init__(self, config: IndexConfig, vocab_path: str | None = None):
-        from coderag_ray.functions.bpe import BPETokenizer, default_tokenizer
+        # loaded_tokenizer is the SHARED build/query chokepoint: it
+        # sniffs HF tokenizer.json vs the offline merge-table format, so
+        # an index built from a real HF vocab tokenizes queries with the
+        # same vocabulary (ADVICE r4: loading BPETokenizer.load here
+        # while the query side sniffed formats split the two paths)
+        from coderag_ray.functions.bpe import default_tokenizer, loaded_tokenizer
 
         vocab_path = vocab_path or config.bpe_vocab_path
-        self.tok = (BPETokenizer.load(vocab_path) if vocab_path
+        self.tok = (loaded_tokenizer(vocab_path) if vocab_path
                     else default_tokenizer())
 
     def __call__(self, t: pa.Table) -> pa.Table:

@@ -66,17 +66,43 @@ def test_treesitter_real_path():
 
 # -- HF tokenizer -----------------------------------------------------------
 
-def test_hf_sniff_falls_back_without_runtime(tmp_path):
+def test_hf_sniff_refuses_loudly_without_runtime(tmp_path):
+    """A HF-format vocab with no 'tokenizers' runtime must FAIL, not
+    silently substitute the built-in vocabulary — a query/index
+    tokenizer mismatch returning degraded results with no error is the
+    worst failure mode (ADVICE r4)."""
     from coderag_ray.functions import bpe
 
     if _has("tokenizers"):
-        pytest.skip("tokenizers present — fallback not reachable")
+        pytest.skip("tokenizers present — refusal path not reachable")
     p = tmp_path / "tokenizer.json"
     p.write_text(json.dumps({"model": {"type": "BPE", "vocab": {}, "merges": []}}))
-    tok = bpe.loaded_tokenizer(str(p))
-    # falls back to the deterministic offline tokenizer, still functional
-    assert tok.tokenize("self return function")
-    assert tok is bpe.default_tokenizer()
+    with pytest.raises(RuntimeError, match="tokenizers"):
+        bpe.loaded_tokenizer(str(p))
+
+
+def test_bpe_stage_shares_loaded_tokenizer_chokepoint(tmp_path):
+    """Build (BpeTokenizeStage) and query (tokenize_query) load the same
+    vocab path through loaded_tokenizer — an HF-format file behaves the
+    same on both sides instead of KeyError'ing on build only."""
+    import pyarrow as pa
+
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.functions import bpe
+    from coderag_ray.stages.tokenize import BpeTokenizeStage
+
+    t = bpe.default_tokenizer()
+    p = tmp_path / "merges.json"
+    t.save(str(p))
+    stage = BpeTokenizeStage(IndexConfig(tokenizer="bpe"), vocab_path=str(p))
+    assert stage.tok is bpe.loaded_tokenizer(str(p))  # same lru-cached object
+    out = stage(pa.table({"content": pa.array(["getUserById query"])}))
+    assert out["token_count"][0].as_py() > 0
+    if not _has("tokenizers"):
+        hf = tmp_path / "tokenizer.json"
+        hf.write_text(json.dumps({"model": {"type": "BPE", "vocab": {}, "merges": []}}))
+        with pytest.raises(RuntimeError, match="tokenizers"):
+            BpeTokenizeStage(IndexConfig(tokenizer="bpe"), vocab_path=str(hf))
 
 
 def test_offline_merge_table_still_loads(tmp_path):
