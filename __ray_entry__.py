@@ -918,15 +918,18 @@ IVFPQ_RECALL_FLOOR = 0.6
 MINHASH_RECALL_FLOOR = 0.9
 
 
-def _ann_recall_table(sf_dir: str, approx_fn, floor: float) -> pa.Table:
+def _ann_recall_table(sf_dir: str, approx_fn, floor: float,
+                      exact: "pd.DataFrame | None" = None) -> pa.Table:
     """Invariant verdict rows for an ANN operator: per query, the
     SQL-checkable exact-kNN facts (result count, exact top-1 id) plus
     engine-verified quality booleans.  The SQL oracle recomputes
     n_exact / exact_top1 genuinely and pins the booleans at ``true`` —
     if ANN recall regresses below the frozen floor (or self-exclusion /
     ordering break), the engine emits ``false`` and the driver's
-    rows+schema+hash compare fails."""
-    exact = q_knn(sf_dir).to_pandas()
+    rows+schema+hash compare fails.  ``exact`` lets a caller evaluating
+    several ANN variants pay the brute-force scan once."""
+    if exact is None:
+        exact = q_knn(sf_dir).to_pandas()
     approx = approx_fn(sf_dir)
     if not isinstance(approx, pd.DataFrame):
         approx = approx.to_pandas()
@@ -980,11 +983,15 @@ def q_ann_recall(sf_dir: str):
     :func:`_ann_recall_table` verdict rows, tagged by an ``ann`` column
     and ordered (ann, query_id).  The SQL oracle recomputes the exact
     side once and pins the booleans per variant — any variant's recall
-    regression below its frozen floor hash-mismatches this row."""
+    regression below its frozen floor hash-mismatches this row.  The
+    brute-force exact scan is paid ONCE and shared by the three
+    evaluations (it is the heaviest similarity query)."""
+    exact = q_knn(sf_dir).to_pandas()
     parts = []
-    for tag, fn in (("ivf", q_ivf_recall), ("ivfpq", q_ivfpq_recall),
-                    ("lsh", q_lsh_recall)):
-        t = fn(sf_dir)
+    for tag, fn, floor in (("ivf", q_ivf_knn, IVF_RECALL_FLOOR),
+                           ("ivfpq", q_ivfpq_knn, IVFPQ_RECALL_FLOOR),
+                           ("lsh", q_lsh_knn, LSH_RECALL_FLOOR)):
+        t = _ann_recall_table(sf_dir, fn, floor, exact=exact)
         parts.append(t.add_column(0, "ann", pa.array([tag] * t.num_rows,
                                                      type=pa.string())))
     return pa.concat_tables(parts)

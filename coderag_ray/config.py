@@ -68,22 +68,29 @@ def _schema_hash_warning_silenced():
 
 
 def dataset_rows_estimate(ds) -> int:
-    """Row count for sizing heuristics, WITHOUT executing the dataset's
-    plan (ADVICE r4: the old ``ds.count()`` fallback executed the entire
-    upstream pipeline once just to pick a bucket count, then the
+    """Row count for sizing heuristics, cheapest source first (ADVICE
+    r4: the old unconditional ``ds.count()`` fallback executed the
+    entire upstream pipeline once just to pick a bucket count, then the
     pipeline ran again for real).  Resolution order:
 
-    1. the plan's snapshot metadata (``from_arrow``/``from_pandas``/
+    1. a caller-provided hint (``ds._coderag_rows_hint``) — the escape
+       hatch for derived datasets whose producer knows the size;
+    2. the plan's snapshot metadata (``from_arrow``/``from_pandas``/
        materialized datasets and bare reads — free);
-    2. the source ``Read`` op's lazy file metadata (works for DERIVED
+    3. the source ``Read`` op's lazy file metadata (works for DERIVED
        datasets too; returns the PRE-transform size, conservative for
        bucket sizing where overcounting is safe);
-    3. parquet footers via ``input_files()``;
-    4. ``count()`` — but only when the plan is a bare source read (the
-       count executes just the read).  A derived dataset whose source
-       metadata is unknown (e.g. ``read_json`` → transforms) returns 0
-       (→ the caller's ``lo`` default) — such callers should pass a
-       precomputed row count to :func:`auto_buckets` instead."""
+    4. parquet footers via ``input_files()``;
+    5. ``count()`` — executes the plan once.  Expensive for a derived
+       dataset, but UNDER-sizing a bucketed group-by is the one failure
+       mode that OOMs workers at scale (a JSONL/CSV-sourced corpus that
+       silently fell back to ``lo`` buckets would put rows/lo rows in
+       ONE pandas group) — correctness of the size beats the extra
+       pass, and hot callers avoid it by passing a precomputed count or
+       setting the hint."""
+    hint = getattr(ds, "_coderag_rows_hint", 0)
+    if hint:
+        return int(hint)
     with _schema_hash_warning_silenced():
         try:
             mc = ds._meta_count()
@@ -109,8 +116,7 @@ def dataset_rows_estimate(ds) -> int:
         except Exception:
             pass
         try:
-            if not ds._logical_plan.dag.input_dependencies:
-                return int(ds.count())
+            return int(ds.count())
         except Exception:
             pass
         return 0

@@ -123,6 +123,12 @@ class IndexReader:
         # thread — a search arriving mid-preload blocks until resident
         self._preload_lock = threading.Lock()
         self._preload_thread: threading.Thread | None = None
+        # idf_for_terms is called by searches BEFORE they block on the
+        # preload lock AND by the preload thread itself — a separate
+        # lock (not _preload_lock: that would deadlock the preload
+        # thread's own idf call) keeps the full-load check-then-set and
+        # the cache/miss mutations single-writer
+        self._idf_lock = threading.Lock()
         self._bytes_postings = sum(
             row.get("bytes_postings", 0) for row in mf.manifest_partitions(man).values()
         )
@@ -135,8 +141,15 @@ class IndexReader:
 
         Small vocabularies are loaded whole into the cache on first use;
         beyond ``_IDF_FULL_LOAD_MAX`` rows the term-sorted parquet is
-        probed per query via predicate pushdown.
+        probed per query via predicate pushdown.  Thread-safe: early
+        queries race the ``preload_async`` thread here, and without the
+        lock the full-load could run twice (duplicated I/O on every
+        pool-actor spin-up).
         """
+        with self._idf_lock:
+            return self._idf_for_terms_locked(terms)
+
+    def _idf_for_terms_locked(self, terms: list[str]) -> dict[str, tuple[int, float]]:
         if not getattr(self, "_idf_checked_full", False):
             self._idf_checked_full = True
             idf_path = os.path.join(self.index_dir, "idf")

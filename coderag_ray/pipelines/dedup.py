@@ -545,9 +545,13 @@ def near_dup_clusters(docs_ds, threshold: float = 0.5, n: int = 3,
     """Connected components of the ≥-threshold n-gram-Jaccard pair graph
     — the "keep one per cluster" step after near-dup detection.
 
-    → pyarrow Table (doc_id, cluster_id) for every doc with at least
-    one qualifying pair, ``cluster_id`` = the smallest doc_id reachable
-    (deterministic canonical label), sorted by doc_id.
+    → (doc_id, cluster_id) for every doc with at least one qualifying
+    pair, ``cluster_id`` = the smallest doc_id reachable (deterministic
+    canonical label), sorted by doc_id.  A pyarrow Table below
+    ``edge_budget`` edges; a sorted Ray DATASET above it (the label set
+    is dup-rate-sized — unbounded at 100 TB, so it never materializes
+    on the driver).  Consume with ``.to_pandas()`` / ``to_arrow_refs``
+    accordingly; values are identical either way.
 
     Scale shape: pair scoring runs distributed
     (:func:`_ngram_pair_scores`) and only EDGES above the threshold

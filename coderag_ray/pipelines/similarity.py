@@ -146,14 +146,31 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
             }
         )
 
-    # distributed top-k reduction: one query's candidates from every
-    # batch meet in one bucket group and collapse to k rows there
-    nb = auto_buckets(len(qids) * (k + 1), target_rows=500_000)
+    # distributed top-k reduction, TWO-LEVEL when the candidate stream
+    # is large: one query's candidates come from EVERY batch, so a
+    # single per-query group would hold n_batches·(k+1) rows — corpus-
+    # linear worker memory (the r4 driver-collect bug moved one hop
+    # upstream).  Level 1 salts the group key by vec_id hash into
+    # ``n_salt`` lanes per query (each lane ≤ ~target rows) and reduces
+    # each lane to its top-k; level 2 merges the k·n_salt survivors per
+    # query.  Small corpora keep n_salt=1 → one level, same plan as
+    # before.
+    from coderag_ray.config import dataset_rows_estimate
 
-    def add_qbucket(t: pa.Table) -> pa.Table:
-        qcol = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (splitmix64(qcol) % np.uint64(nb)).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+    nb = auto_buckets(len(qids) * (k + 1), target_rows=500_000)
+    n_batches_est = max(1, -(-max(dataset_rows_estimate(emb_ds), 1) // 4096))
+    n_salt = max(1, min(65_536, -(-n_batches_est * (k + 1) // 500_000)))
+
+    def add_qbucket(salted: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            qcol = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = (splitmix64(qcol) % np.uint64(nb)).astype(np.int64) * n_salt
+            if salted:
+                vcol = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                b = b + (splitmix64(vcol) % np.uint64(n_salt)).astype(np.int64)
+            # int64: nb·n_salt can exceed int32 at extreme sizes
+            return t.append_column("__bucket", pa.array(b, type=pa.int64()))
+        return fn
 
     def reduce_topk(g: pd.DataFrame) -> pa.Table:
         g = g[g["query_id"] != g["vec_id"]]  # exclude self
@@ -166,13 +183,19 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
             "cos_sim": pa.array(top_g["cos_sim"].to_numpy(dtype=np.float64), type=pa.float64()),
         })
 
-    cand = (
+    reduced = (
         emb_ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=4096)
-        .map_batches(add_qbucket, batch_format="pyarrow")
+        .map_batches(add_qbucket(salted=n_salt > 1), batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(reduce_topk, batch_format="pandas")
-        .to_pandas()  # O(k·|Q|) rows — bounded, corpus-independent
     )
+    if n_salt > 1:  # level 2: k·n_salt rows per query → global top-k
+        reduced = (
+            reduced.map_batches(add_qbucket(salted=False), batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(reduce_topk, batch_format="pandas")
+        )
+    cand = reduced.to_pandas()  # O(k·|Q|) rows — bounded, corpus-independent
     if cand.shape[1] == 0:  # every candidate was a self-match
         return pa.table({"query_id": pa.array([], type=pa.int64()),
                          "vec_id": pa.array([], type=pa.int64()),
@@ -895,8 +918,13 @@ def ivfpq_knn(emb_ds, query_ids: list[int], k: int = 5, n_probe: int = 4,
         Qn = _normalize(Q)
         # vectorized refine: map shortlist rows to candidate/query rows,
         # exact-cosine per row, one lexsort + run-rank head-k (no loop)
+        # keep="last" matches the old dict-comprehension mapping: a
+        # reused/dirty layout can hold a duplicated vec_id, and
+        # Series.map raises InvalidIndexError on a duplicated index
         pos = pd.Series(np.arange(len(cid), dtype=np.int64), index=cid)
+        pos = pos[~pos.index.duplicated(keep="last")]
         qrow = pd.Series(np.arange(len(qids), dtype=np.int64), index=qids)
+        qrow = qrow[~qrow.index.duplicated(keep="last")]
         sq = sdf["query_id"].to_numpy(dtype=np.int64)
         sv = sdf["vec_id"].to_numpy(dtype=np.int64)
         sn = sdf["n_scanned"].to_numpy(dtype=np.int64)

@@ -24,7 +24,11 @@ def to_pandas(obj) -> pd.DataFrame:
         return obj
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
-    return obj.to_pandas()  # ray Dataset
+    # ray Dataset: keep declared columns when the result is empty (Ray's
+    # to_pandas builds from iterated batches → column-less 0-row frame)
+    from coderag_ray.functions.datasets import to_pandas_typed
+
+    return to_pandas_typed(obj)
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -253,3 +253,135 @@ def test_distributed_cc_returns_dataset_and_driver_bounded(ray_session, monkeypa
     want = clusters_from_pairs(tbl).to_pandas()
     got = out.to_pandas()
     assert got.values.tolist() == want.values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# round-5 review fixes: rows-estimate backstop, salted knn reduce,
+# duplicate-id refine, idf thread safety
+# ---------------------------------------------------------------------------
+
+
+def test_rows_estimate_counts_derived_non_parquet(ray_session, tmp_path):
+    """A JSONL-derived corpus (no parquet footers, no source metadata)
+    must NOT silently estimate 0 → lo buckets: that under-sizes every
+    bucketed groupby and puts rows/lo rows in one pandas group at scale.
+    The count() backstop executes the plan once; a caller-set
+    _coderag_rows_hint skips even that."""
+    import ray.data
+
+    from coderag_ray.config import auto_buckets, dataset_rows_estimate
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join('{"doc_id": %d, "text": "t%d"}' % (i, i)
+                           for i in range(1000)))
+    ds = ray.data.read_json(str(p)).map_batches(lambda t: t,
+                                                batch_format="pyarrow")
+    assert dataset_rows_estimate(ds) == 1000
+    assert auto_buckets(ds, target_rows=10, lo=4, hi=1 << 20) >= 100
+    ds2 = ray.data.read_json(str(p)).map_batches(lambda t: t,
+                                                 batch_format="pyarrow")
+    ds2._coderag_rows_hint = 5_000_000
+    assert dataset_rows_estimate(ds2) == 5_000_000  # hint wins, no execution
+
+
+def test_knn_bruteforce_salted_two_level_reduce_matches(ray_session, monkeypatch):
+    """When the candidate stream estimate is large, level-1 groups are
+    salted by vec_id so no single group holds n_batches·(k+1) rows; the
+    two-level reduce must return the identical exact top-k."""
+    import ray.data
+
+    import coderag_ray.config as cfg
+    from coderag_ray.pipelines.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(11)
+    n, d, k = 300, 8, 5
+    emb = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array(rng.standard_normal((n, d)).tolist(),
+                              type=pa.list_(pa.float32())),
+    })
+    qids = [0, 5, 9]
+    ds = ray.data.from_arrow(emb).repartition(16)
+    baseline = knn_bruteforce(ds, qids, k=k).to_pandas()
+
+    real = cfg.dataset_rows_estimate
+
+    def inflated(d_):
+        # pretend the corpus is ~10^10 rows → n_salt >> 1
+        return 10_000_000_000 if d_ is ds else real(d_)
+
+    monkeypatch.setattr(cfg, "dataset_rows_estimate", inflated)
+    salted = knn_bruteforce(ds, qids, k=k).to_pandas()
+    assert salted.values.tolist() == baseline.values.tolist()
+
+
+def test_ivfpq_refine_tolerates_duplicate_vec_ids(ray_session, tmp_path):
+    """A reused/dirty embedding dataset can hold a duplicated vec_id;
+    the vectorized refine must rank (keeping the last occurrence, like
+    the old dict mapping) instead of raising InvalidIndexError."""
+    import ray.data
+
+    from coderag_ray.pipelines.similarity import ivfpq_knn
+
+    rng = np.random.default_rng(3)
+    n, d = 120, 16
+    vids = list(range(n)) + [7]  # duplicate id 7
+    E = rng.standard_normal((n + 1, d))
+    E[-1] = E[7]  # same vector, duplicated row
+    emb = pa.table({
+        "vec_id": pa.array(vids, type=pa.int64()),
+        "embedding": pa.array(E.tolist(), type=pa.list_(pa.float32())),
+    })
+    out = ivfpq_knn(ray.data.from_arrow(emb), [0, 1], k=3,
+                    index_dir=str(tmp_path / "pq")).to_pandas()
+    assert set(out["query_id"]) == {0, 1}
+    assert (out.groupby("query_id").size() <= 3 + 1).all()
+
+
+def test_idf_for_terms_thread_safe_single_full_load(ray_session, tmp_path):
+    """Concurrent first-touch idf lookups (preload_async thread vs an
+    early query) perform the full-vocabulary load exactly once."""
+    import threading
+
+    import ray.data
+
+    from coderag_ray.config import IndexConfig
+    from coderag_ray.corpus import make_corpus
+    from coderag_ray.index.build import build_index
+    from coderag_ray.index.reader import IndexReader
+
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(make_corpus(n_docs=30, seed=7)), idx,
+                IndexConfig(num_partitions=2))
+    r = IndexReader(idx)
+    loads = []
+    inner_calls = []
+
+    import pyarrow.dataset as pads
+    real_dataset = pads.dataset
+
+    def counting_dataset(*a, **kw):
+        inner_calls.append(1)
+        return real_dataset(*a, **kw)
+
+    pads.dataset = counting_dataset
+    try:
+        errs = []
+
+        def worker():
+            try:
+                loads.append(r.idf_for_terms(["self", "return", "def"]))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=worker) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    finally:
+        pads.dataset = real_dataset
+    assert not errs
+    # one full load (its count_rows probe + to_table share one dataset())
+    assert sum(inner_calls) <= 2, inner_calls
+    assert all(l == loads[0] for l in loads)
