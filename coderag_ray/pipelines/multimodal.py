@@ -1,11 +1,13 @@
 """Multimodal (binary-payload) stage plumbing.
 
 Treats media as opaque ``binary`` columns with typed metadata.  The
-actual decoders (image/audio libs) are NOT in this container, so
-``decode_image`` raises ``NotImplementedError`` and the pipeline runs a
-clearly-marked deterministic fake — but the Ray-side plumbing (schema,
-actor-pool signature, small batch size for wide binary rows, output
-layout) is real and tested, per the multimodal-stub requirement.
+actual decoders (image/video libs) are NOT in this container, so
+``decode_image`` (PIL hook) and ``decode_video_frames`` (PyAV hook)
+raise ``NotImplementedError`` when their runtime is absent and the
+pipelines run a clearly-marked deterministic fake — but the Ray-side
+plumbing (schema, actor-pool signature, small batch size for wide
+binary rows, output layout) is real and tested, and each hook has a
+real-path pytest that activates the moment the runtime appears.
 """
 
 from __future__ import annotations
@@ -111,12 +113,43 @@ def media_features(docs_ds, batch_size: int = 256, concurrency=None):
     )
 
 
-def decode_video_frames(payload: bytes):
-    """Real frame decoder stub — no video library in this container."""
-    raise NotImplementedError(
-        "video decoding requires a media library not installed in this "
-        "environment; FrameSampleStage uses the deterministic fake instead"
-    )
+def decode_video_frames(payload: bytes, every_n: int = 1,
+                        max_frames: int | None = None) -> list:
+    """Real frame decode via PyAV when importable (detect-and-use hook,
+    same pattern as :func:`decode_image`/PIL) — raises
+    ``NotImplementedError`` otherwise (no video library ships in this
+    sandbox; FrameSampleStage then uses the deterministic fake, and the
+    PyAV path is covered by a pytest that skips unless importable).
+    Returns RGB ``numpy`` arrays for every ``every_n``-th frame, at most
+    ``max_frames``."""
+    try:
+        import av  # gated import (PyAV — ffmpeg bindings)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "video decoding requires a media library (PyAV/ffmpeg) not "
+            "installed in this environment; FrameSampleStage uses the "
+            "deterministic fake instead"
+        ) from exc
+    import io
+
+    frames = []
+    with av.open(io.BytesIO(payload)) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if every_n > 1 and i % every_n:
+                continue
+            frames.append(frame.to_ndarray(format="rgb24"))
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+    return frames
+
+
+def real_video_decoder_available() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 class FrameSampleStage:
@@ -135,10 +168,23 @@ class FrameSampleStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
-        if self.use_real_decoder:
-            decode_video_frames(payloads[0])  # raises: documented stub
         doc_ids = pc.cast(t["doc_id"], pa.int64()).to_pylist()
         out_doc, out_idx, out_sha = [], [], []
+        if self.use_real_decoder:
+            # real path (PyAV hook): same 1-payload → N-frame-rows
+            # contract, frame identity = sha256 of the decoded pixels
+            for did, p in zip(doc_ids, payloads):
+                for i, fr in enumerate(decode_video_frames(p)):
+                    out_doc.append(did)
+                    out_idx.append(i)
+                    out_sha.append(hashlib.sha256(fr.tobytes()).hexdigest())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_doc, type=pa.int64()),
+                    "frame_idx": pa.array(out_idx, type=pa.int64()),
+                    "frame_sha256": pa.array(out_sha, type=pa.string()),
+                }
+            )
         for did, p in zip(doc_ids, payloads):
             n_frames = (len(p) // 4096) % 8 + 1
             for i in range(n_frames):

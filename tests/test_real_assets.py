@@ -163,3 +163,48 @@ def test_pil_real_path():
     assert out["fake_width"][0].as_py() == 7
     assert out["fake_height"][0].as_py() == 5
     assert out["n_bytes"][0].as_py() == len(payload)
+
+
+# -- PyAV video decode --------------------------------------------------------
+
+def test_video_fallback_raises_not_implemented():
+    from coderag_ray.pipelines.multimodal import (
+        FrameSampleStage, decode_video_frames, real_video_decoder_available)
+
+    if _has("av"):
+        pytest.skip("PyAV present — fallback not reachable")
+    assert not real_video_decoder_available()
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"\x00\x00\x00 ftypisom")
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "payload": pa.array([b"fake-video-bytes"])})
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(use_real_decoder=True)(t)
+
+
+def test_video_real_path(tmp_path):
+    av = pytest.importorskip("av")
+    import io
+
+    from coderag_ray.pipelines.multimodal import FrameSampleStage
+
+    # synthesize a tiny 4-frame video in memory
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 32
+        stream.pix_fmt = "yuv420p"
+        for i in range(4):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((32, 32, 3), i * 40, dtype=np.uint8), format="rgb24")
+            container.mux(stream.encode(frame))
+        container.mux(stream.encode(None))
+    payload = buf.getvalue()
+    t = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                  "payload": pa.array([payload])})
+    out = FrameSampleStage(use_real_decoder=True)(t)
+    # 1 payload -> N frame rows, sequential frame_idx, real pixel shas
+    assert out.num_rows >= 1
+    assert out["frame_idx"].to_pylist() == list(range(out.num_rows))
+    assert len(set(out["frame_sha256"].to_pylist())) == out.num_rows
+    assert set(out.column_names) == {"doc_id", "frame_idx", "frame_sha256"}
