@@ -341,7 +341,7 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling(n_lo: int = 8, n_hi: int = 32) -> dict:
+def run_scaling(n_lo: int = 8, n_hi: int = 32, repeats: int = 2) -> dict:
     """Same job, fresh processes, N vs 4N CPUs.
 
     Pass ``--scaling LO,HI`` to pick the pair.  Caveat recorded in
@@ -349,6 +349,14 @@ def run_scaling(n_lo: int = 8, n_hi: int = 32) -> dict:
     bound) build beyond ~16 cores, so vCPU pairs above that understate
     the multi-node (N→4N *nodes*) efficiency the criterion targets —
     node counts scale memory bandwidth with workers, vCPUs here do not.
+
+    Legs run INTERLEAVED (lo, hi, lo, hi) and each side keeps its best
+    throughput: this box's effective memory bandwidth drifts minute to
+    minute (BASELINE.md round-4/5 controls), and a sequential lo→hi pair
+    aliases that drift straight into the efficiency ratio (observed
+    swings 0.77–1.08 across repeats of the same code).  Best-of-N per
+    leg under interleaving cancels the drift while measuring the same
+    code path; per-leg raw values are all reported.
     """
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -357,7 +365,12 @@ def run_scaling(n_lo: int = 8, n_hi: int = 32) -> dict:
                            capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo, hi = one(n_lo), one(n_hi)
+    los, his = [], []
+    for _ in range(max(1, repeats)):
+        los.append(one(n_lo))
+        his.append(one(n_hi))
+    lo = max(los, key=lambda r: r["queries"]["build_docs_per_s"])
+    hi = max(his, key=lambda r: r["queries"]["build_docs_per_s"])
     thr_lo = lo["queries"]["build_docs_per_s"]
     thr_hi = hi["queries"]["build_docs_per_s"]
     eff = (thr_hi / thr_lo) / (n_hi / n_lo)
@@ -367,6 +380,8 @@ def run_scaling(n_lo: int = 8, n_hi: int = 32) -> dict:
         f"build_s_{n_hi}": hi["queries"]["build_index_s"],
         f"docs_per_s_{n_lo}": thr_lo,
         f"docs_per_s_{n_hi}": thr_hi,
+        f"docs_per_s_{n_lo}_all": [r["queries"]["build_docs_per_s"] for r in los],
+        f"docs_per_s_{n_hi}_all": [r["queries"]["build_docs_per_s"] for r in his],
         f"query_p95_ms_{n_lo}": lo["queries"]["query_p95_ms"],
         f"query_p95_ms_{n_hi}": hi["queries"]["query_p95_ms"],
         "scaling_efficiency": round(eff, 3),
