@@ -411,11 +411,67 @@ def lsh_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
     return _probe_scan(paths, qids, Qn, probes, k)
 
 
+# candidate rows a probe merge may collect on the driver directly; above
+# this the stream is reduced distributed first.  The per-batch top-k
+# emission means candidate rows ≈ (k+1)·|Q|·n_probed_batches — linear in
+# the probed fraction of the corpus, so at scale the reduce is mandatory
+# while small layouts (tests, single-node benches) skip the extra
+# exchange entirely.  count() is free: callers count a materialized ds.
+PROBE_REDUCE_THRESHOLD = 200_000
+
+
+def _reduce_candidates(cand_ds, k: int, score_col: str):
+    """Distributed per-query reduction of probe-candidate rows: keeps
+    each query's top-k REAL rows (score DESC, vec_id ASC) plus ONE
+    sentinel row (vec_id = -1) carrying the summed scan count, so the
+    driver merge sees O((k+1)·|Q|) rows regardless of how many probed
+    batches produced candidates (the same bound knn_bruteforce's reduce
+    provides).  Exact: every dropped row ranks below its query's kept
+    k-th within its group, and sentinel sums are associative — the
+    driver merge re-sorts/heads-k the union unchanged."""
+    from coderag_ray.config import auto_buckets
+    from coderag_ray.functions.hashing import splitmix64
+
+    nb = auto_buckets(cand_ds, target_rows=500_000)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        qcol = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(qcol) % np.uint64(nb)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def reduce_g(g: pd.DataFrame) -> pa.Table:
+        sent = g[g["vec_id"] < 0].groupby("query_id", sort=True)["n_scanned"].sum()
+        real = g[g["vec_id"] >= 0].sort_values(
+            ["query_id", score_col, "vec_id"], ascending=[True, False, True])
+        top = real.groupby("query_id", sort=False).head(k)
+        sq = sent.index.to_numpy(dtype=np.int64)
+        return pa.table({
+            "query_id": pa.array(
+                np.r_[top["query_id"].to_numpy(dtype=np.int64), sq], type=pa.int64()),
+            "vec_id": pa.array(
+                np.r_[top["vec_id"].to_numpy(dtype=np.int64),
+                      np.full(len(sq), -1, dtype=np.int64)], type=pa.int64()),
+            score_col: pa.array(
+                np.r_[top[score_col].to_numpy(dtype=np.float64),
+                      np.zeros(len(sq))], type=pa.float64()),
+            "n_scanned": pa.array(
+                np.r_[top["n_scanned"].to_numpy(dtype=np.int64),
+                      sent.to_numpy(dtype=np.int64)], type=pa.int64()),
+        })
+
+    return (cand_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(reduce_g, batch_format="pandas"))
+
+
 def _probe_scan(paths: list[str], qids: np.ndarray, Qn: np.ndarray,
                 probes: list[set[int]], k: int) -> pa.Table:
     """Shared candidate scan for bucketed ANN layouts (LSH and IVF):
     pruned read of ``paths``, per-batch exact-cosine top-k per query
-    restricted to its probe set, tiny driver merge."""
+    restricted to its probe set, tiny driver merge.  Above
+    ``PROBE_REDUCE_THRESHOLD`` candidate rows the stream is first
+    reduced distributed (:func:`_reduce_candidates`) so the driver
+    collect is O((k+1)·|Q|) however many probed batches exist."""
     import ray
     import ray.data
 
@@ -461,7 +517,9 @@ def _probe_scan(paths: list[str], qids: np.ndarray, Qn: np.ndarray,
                .materialize())
     global LAST_PROBE_STATS
     LAST_PROBE_STATS = cand_ds.stats()  # per-operator audit (bench)
-    cand = cand_ds.to_pandas()  # top-k rows + scan-count rows only — tiny
+    if cand_ds.count() > PROBE_REDUCE_THRESHOLD:  # count is free: materialized
+        cand_ds = _reduce_candidates(cand_ds, k, "cos_sim")
+    cand = cand_ds.to_pandas()  # O((k+1)·|Q|) rows post-reduce
     if len(cand) == 0:
         return empty
     scans = cand[cand.vec_id < 0].groupby("query_id")["n_scanned"].sum()
@@ -821,8 +879,11 @@ def ivfpq_probe(index_dir: str, query_ids: np.ndarray, Q: np.ndarray,
             "n_scanned": pa.array(out_n, type=pa.int64()),
         })
 
-    cand = (ray.data.read_parquet(paths)
-            .map_batches(score_batch, batch_format="pyarrow").to_pandas())
+    cand_ds = (ray.data.read_parquet(paths)
+               .map_batches(score_batch, batch_format="pyarrow").materialize())
+    if cand_ds.count() > PROBE_REDUCE_THRESHOLD:  # same bound as _probe_scan
+        cand_ds = _reduce_candidates(cand_ds, k, "adc_score")
+    cand = cand_ds.to_pandas()
     if not len(cand) or cand.shape[1] == 0:
         return pa.table({
             "query_id": pa.array([], type=pa.int64()),

@@ -385,3 +385,34 @@ def test_idf_for_terms_thread_safe_single_full_load(ray_session, tmp_path):
     # one full load (its count_rows probe + to_table share one dataset())
     assert sum(inner_calls) <= 2, inner_calls
     assert all(l == loads[0] for l in loads)
+
+
+def test_probe_reduce_path_matches_direct(ray_session, tmp_path, monkeypatch):
+    """Forcing the distributed candidate reduction (threshold 0) must
+    return bit-identical LSH / IVF-PQ results to the direct driver
+    merge — the reduce is exact (per-group top-k survivors dominate all
+    dropped rows; sentinel scan sums are associative)."""
+    import ray.data
+
+    import coderag_ray.pipelines.similarity as sim
+
+    rng = np.random.default_rng(5)
+    n, d, k = 250, 16, 5
+    emb = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array(rng.standard_normal((n, d)).tolist(),
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(emb)
+    qids = [0, 3, 8]
+    direct_lsh = sim.lsh_knn(ds, qids, k=k,
+                             index_dir=str(tmp_path / "l1")).to_pandas()
+    direct_pq = sim.ivfpq_knn(ds, qids, k=k,
+                              index_dir=str(tmp_path / "p1")).to_pandas()
+    monkeypatch.setattr(sim, "PROBE_REDUCE_THRESHOLD", 0)
+    reduced_lsh = sim.lsh_knn(ds, qids, k=k,
+                              index_dir=str(tmp_path / "l2")).to_pandas()
+    reduced_pq = sim.ivfpq_knn(ds, qids, k=k,
+                               index_dir=str(tmp_path / "p2")).to_pandas()
+    assert reduced_lsh.values.tolist() == direct_lsh.values.tolist()
+    assert reduced_pq.values.tolist() == direct_pq.values.tolist()
