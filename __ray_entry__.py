@@ -866,6 +866,21 @@ def q_simhash(sf_dir: str):
     return simhash_table(_docs(sf_dir))
 
 
+SPAN_WINDOW, SPAN_STRIDE, SPAN_MIN_DUP = 32, 8, 2
+
+
+def q_substring_dup(sf_dir: str):
+    """Windowed substring-duplication profile (the distributed stand-in
+    for suffix-array exact-substring dedup): per doc, how many of its
+    32-byte windows (stride 8) occur verbatim in ≥2 distinct docs.  The
+    SQL oracle recomputes every window via substr + generate_series —
+    byte windows == char windows on the ASCII corpus."""
+    from coderag_ray.pipelines.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(sf_dir), window=SPAN_WINDOW,
+                            stride=SPAN_STRIDE, min_dup=SPAN_MIN_DUP)
+
+
 def q_embdup(sf_dir: str):
     from coderag_ray.pipelines.dedup import embedding_dup_pairs
 
@@ -1296,6 +1311,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "q_lsh_recall": q_lsh_recall,
         "q_ivf_recall": q_ivf_recall,
         "q_ivfpq_recall": q_ivfpq_recall,
+        "q_substring_dup": q_substring_dup,
     }
 
 
@@ -1380,6 +1396,27 @@ def extra_oracle_sql() -> dict[str, str]:
         "q_lsh_recall": _ANN_RECALL_SQL,
         "q_ivf_recall": _ANN_RECALL_SQL,
         "q_ivfpq_recall": _ANN_RECALL_SQL,
+        "q_substring_dup": f"""
+WITH offs AS (
+  SELECT unnest(generate_series(0,
+           (SELECT max(length(text)) FROM documents) - {SPAN_WINDOW},
+           {SPAN_STRIDE})) AS off
+),
+w AS (
+  SELECT d.doc_id, substr(d.text, o.off + 1, {SPAN_WINDOW}) AS win
+  FROM documents d JOIN offs o ON o.off <= length(d.text) - {SPAN_WINDOW}
+  WHERE length(d.text) >= {SPAN_WINDOW}
+),
+dup AS (SELECT win FROM w GROUP BY win
+        HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DUP})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) FILTER (WHERE win IN (SELECT win FROM dup)) AS BIGINT)
+         AS n_dup_windows,
+       round(count(*) FILTER (WHERE win IN (SELECT win FROM dup))
+             * 1.0 / count(*), 6) AS dup_fraction
+FROM w GROUP BY doc_id ORDER BY doc_id
+""",
     }
 
 # exact-kNN side of the ANN quality invariants (q_lsh_recall /

@@ -1028,3 +1028,117 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.25):
     return schema_stable(
         emb_ds.groupby("label").map_groups(pairs, batch_format="pandas"),
         EMB_DUP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# windowed substring duplication (exact-substring dedup profile)
+# ---------------------------------------------------------------------------
+
+
+SPAN_DUP_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_windows", pa.int64()),
+    ("n_dup_windows", pa.int64()),
+    ("dup_fraction", pa.float64()),
+])
+
+
+def duplicated_spans(docs_ds, window: int = 32, stride: int = 8,
+                     min_dup: int = 2):
+    """Per-document substring-duplication profile — the windowed
+    distributed stand-in for suffix-array exact-substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every ``window``-byte window taken at ``stride`` offsets
+    is exchanged by window-hash bucket; a window whose TEXT occurs in
+    ≥ ``min_dup`` distinct documents marks every occurrence duplicated.
+
+    → Dataset ``(doc_id, n_windows, n_dup_windows, dup_fraction
+    round6)`` for docs with ≥ 1 window (``len(text) ≥ window`` bytes),
+    sorted by doc_id.
+
+    Scale shape: the window exchange ships ≈ corpus_bytes·window/stride
+    bytes ONCE (the irreducible cost of substring-level dedup in any
+    shuffle formulation); bucket count is auto-derived from input docs
+    with a window-expansion-aware target.  Within a bucket, duplicate
+    detection is one vectorized pandas groupby on the exact window
+    BYTES — the routing hash only co-locates, so a hash collision can
+    never create a false duplicate.  Per-doc counts leave each bucket
+    as PARTIALS (≤ docs-touching-bucket rows) and meet in a second,
+    doc-keyed bucketed sum, so nothing window-count-sized ever
+    concentrates.  Windows are byte offsets of the utf-8 encoding
+    (== character offsets for ASCII corpora, which is what the SQL
+    oracle's ``substr`` view checks)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from coderag_ray.config import auto_buckets
+    from coderag_ray.functions.hashing import splitmix64
+
+    # each doc expands to ~len/stride window rows of ~window bytes: use
+    # a doc-count target small enough that one bucket's window rows stay
+    # ~10^6 at typical document sizes
+    nb_win = np.uint64(auto_buckets(docs_ds, target_rows=10_000))
+    nb_doc = np.uint64(auto_buckets(docs_ds, target_rows=2_000_000))
+    _empty_win = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                           "win": pa.array([], type=pa.binary()),
+                           "__bucket": pa.array([], type=pa.int32())})
+
+    def win_batch(t: pa.Table) -> pa.Table:
+        docs, wins = [], []
+        for did, text in zip(pc.cast(t["doc_id"], pa.int64()).to_pylist(),
+                             t["text"].to_pylist()):
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            if len(b) < window:
+                continue
+            sw = np.ascontiguousarray(sliding_window_view(b, window)[::stride])
+            docs.append(np.full(len(sw), did, dtype=np.int64))
+            wins.append(sw.view(f"S{window}").ravel())
+        if not docs:
+            return _empty_win
+        d = np.concatenate(docs)
+        w = np.concatenate(wins)
+        # vectorized FNV-1a fold over the window bytes (routing only)
+        W = w.view(np.uint8).reshape(-1, window).astype(np.uint64)
+        h = np.full(len(w), np.uint64(14695981039346656037))
+        for j in range(window):
+            h = (h ^ W[:, j]) * np.uint64(1099511628211)
+        bkt = (splitmix64(h) % nb_win).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(d, type=pa.int64()),
+            "win": pa.array(w),
+            "__bucket": pa.array(bkt),
+        })
+
+    def dup_bucket(g: pd.DataFrame) -> pa.Table:
+        dup = (g.groupby("win", sort=False)["doc_id"].transform("nunique")
+               >= min_dup)
+        a = (g.assign(dup=dup.to_numpy())
+             .groupby("doc_id", sort=False)["dup"]
+             .agg(n_windows="size", n_dup_windows="sum").reset_index())
+        bkt = (splitmix64(a["doc_id"].to_numpy(dtype=np.uint64)) % nb_doc
+               ).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(a["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "n_windows": pa.array(a["n_windows"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "n_dup_windows": pa.array(a["n_dup_windows"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "__bucket": pa.array(bkt),
+        })
+
+    def sum_doc(g: pd.DataFrame) -> pa.Table:
+        a = (g.groupby("doc_id", sort=True)[["n_windows", "n_dup_windows"]]
+             .sum().reset_index())
+        nw = a["n_windows"].to_numpy(dtype=np.int64)
+        nd = a["n_dup_windows"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(a["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "n_windows": pa.array(nw, type=pa.int64()),
+            "n_dup_windows": pa.array(nd, type=pa.int64()),
+            "dup_fraction": pa.array(
+                np.atleast_1d(round6(nd / np.maximum(nw, 1))), type=pa.float64()),
+        })
+
+    return schema_stable(
+        docs_ds.map_batches(win_batch, batch_format="pyarrow")
+        .groupby("__bucket").map_groups(dup_bucket, batch_format="pandas")
+        .groupby("__bucket").map_groups(sum_doc, batch_format="pandas")
+        .sort("doc_id"),
+        SPAN_DUP_SCHEMA)

@@ -416,3 +416,43 @@ def test_probe_reduce_path_matches_direct(ray_session, tmp_path, monkeypatch):
                                index_dir=str(tmp_path / "p2")).to_pandas()
     assert reduced_lsh.values.tolist() == direct_lsh.values.tolist()
     assert reduced_pq.values.tolist() == direct_pq.values.tolist()
+
+
+def test_duplicated_spans_counts_and_schema(ray_session):
+    """Windowed substring-dup profile: two docs sharing a verbatim tail
+    count exactly the windows inside the shared span; unique docs count
+    zero; sub-window docs are excluded; empty corpus keeps the schema."""
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog once more!!"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["A" * 20 + shared, "B" * 20 + shared,
+                          "totally unique content that is long enough here",
+                          "shr"]),
+    })
+    out = duplicated_spans(ray.data.from_arrow(docs), window=32, stride=8,
+                           min_dup=2).to_pandas()
+    # reference: brute-force in python
+    texts = docs["text"].to_pylist()
+    wins = {i: [t[o:o + 32] for o in range(0, len(t) - 31, 8)]
+            for i, t in enumerate(texts) if len(t) >= 32}
+    from collections import Counter
+    docs_per_win = Counter()
+    for i, ws in wins.items():
+        for w in set(ws):
+            docs_per_win[w] += 1
+    want = {i: (len(ws), sum(1 for w in ws if docs_per_win[w] >= 2))
+            for i, ws in wins.items()}
+    got = {int(r.doc_id): (int(r.n_windows), int(r.n_dup_windows))
+           for r in out.itertuples()}
+    assert got == want
+    assert 3 not in got  # len < window
+    assert list(out.columns) == ["doc_id", "n_windows", "n_dup_windows",
+                                 "dup_fraction"]
+    empty = duplicated_spans(ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())}))).to_pandas()
+    assert list(empty.columns) == list(out.columns) and len(empty) == 0
