@@ -382,8 +382,12 @@ def run_scaling(n_lo: int = 8, n_hi: int = 32, repeats: int = 2) -> dict:
         f"docs_per_s_{n_hi}": thr_hi,
         f"docs_per_s_{n_lo}_all": [r["queries"]["build_docs_per_s"] for r in los],
         f"docs_per_s_{n_hi}_all": [r["queries"]["build_docs_per_s"] for r in his],
-        f"query_p95_ms_{n_lo}": lo["queries"]["query_p95_ms"],
-        f"query_p95_ms_{n_hi}": hi["queries"]["query_p95_ms"],
+        # latency selected independently of build (drift hits them
+        # independently): best p95 per leg, plus every raw value
+        f"query_p95_ms_{n_lo}": min(r["queries"]["query_p95_ms"] for r in los),
+        f"query_p95_ms_{n_hi}": min(r["queries"]["query_p95_ms"] for r in his),
+        f"query_p95_ms_{n_lo}_all": [r["queries"]["query_p95_ms"] for r in los],
+        f"query_p95_ms_{n_hi}_all": [r["queries"]["query_p95_ms"] for r in his],
         "scaling_efficiency": round(eff, 3),
         "bench_docs": lo["bench_docs"],
     }

@@ -67,7 +67,7 @@ def _schema_hash_warning_silenced():
         lg.removeFilter(f)
 
 
-def dataset_rows_estimate(ds) -> int:
+def dataset_rows_estimate(ds, allow_execute: bool = True) -> int:
     """Row count for sizing heuristics, cheapest source first (ADVICE
     r4: the old unconditional ``ds.count()`` fallback executed the
     entire upstream pipeline once just to pick a bucket count, then the
@@ -87,7 +87,15 @@ def dataset_rows_estimate(ds) -> int:
        silently fell back to ``lo`` buckets would put rows/lo rows in
        ONE pandas group) — correctness of the size beats the extra
        pass, and hot callers avoid it by passing a precomputed count or
-       setting the hint."""
+       setting the hint.  ``allow_execute=False`` skips this step and
+       returns 0 instead — for callers that only want a cheap bound and
+       have a safe fallback for "unknown".
+
+    The ``_coderag_rows_hint`` attribute lives on the specific Dataset
+    OBJECT: every transformation returns a new Dataset, so the hint does
+    not survive ``.map_batches(...)`` chains — set it on the dataset you
+    actually pass in (or pass a plain row count to
+    :func:`auto_buckets`)."""
     hint = getattr(ds, "_coderag_rows_hint", 0)
     if hint:
         return int(hint)
@@ -115,10 +123,11 @@ def dataset_rows_estimate(ds) -> int:
                 return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         except Exception:
             pass
-        try:
-            return int(ds.count())
-        except Exception:
-            pass
+        if allow_execute:
+            try:
+                return int(ds.count())
+            except Exception:
+                pass
         return 0
 
 

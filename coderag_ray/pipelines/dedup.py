@@ -1070,16 +1070,19 @@ def duplicated_spans(docs_ds, window: int = 32, stride: int = 8,
     oracle's ``substr`` view checks)."""
     from numpy.lib.stride_tricks import sliding_window_view
 
-    from coderag_ray.config import auto_buckets
+    from coderag_ray.config import auto_buckets, dataset_rows_estimate
     from coderag_ray.functions.hashing import splitmix64
 
     # each doc expands to ~len/stride window rows of ~window bytes: use
     # a doc-count target small enough that one bucket's window rows stay
-    # ~10^6 at typical document sizes
-    nb_win = np.uint64(auto_buckets(docs_ds, target_rows=10_000))
-    nb_doc = np.uint64(auto_buckets(docs_ds, target_rows=2_000_000))
+    # ~10^6 at typical document sizes.  One row estimate feeds both
+    # bucket counts (the estimate's count() backstop may execute a
+    # derived plan — pay it at most once).
+    n_docs_est = dataset_rows_estimate(docs_ds)
+    nb_win = np.uint64(auto_buckets(n_docs_est, target_rows=10_000))
+    nb_doc = np.uint64(auto_buckets(n_docs_est, target_rows=2_000_000))
     _empty_win = pa.table({"doc_id": pa.array([], type=pa.int64()),
-                           "win": pa.array([], type=pa.binary()),
+                           "win": pa.array([], type=pa.binary(window)),
                            "__bucket": pa.array([], type=pa.int32())})
 
     def win_batch(t: pa.Table) -> pa.Table:
@@ -1091,20 +1094,26 @@ def duplicated_spans(docs_ds, window: int = 32, stride: int = 8,
                 continue
             sw = np.ascontiguousarray(sliding_window_view(b, window)[::stride])
             docs.append(np.full(len(sw), did, dtype=np.int64))
-            wins.append(sw.view(f"S{window}").ravel())
+            wins.append(sw)
         if not docs:
             return _empty_win
         d = np.concatenate(docs)
-        w = np.concatenate(wins)
-        # vectorized FNV-1a fold over the window bytes (routing only)
-        W = w.view(np.uint8).reshape(-1, window).astype(np.uint64)
-        h = np.full(len(w), np.uint64(14695981039346656037))
+        W = np.concatenate(wins)  # [n, window] uint8 — kept raw:
+        # numpy S-dtype items strip trailing NUL bytes, which would make
+        # two windows differing only in trailing NULs compare equal; a
+        # fixed-size-binary array built straight from the byte buffer
+        # preserves every byte
+        win_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(window), len(W), [None, pa.py_buffer(W.tobytes())])
+        # vectorized FNV-1a fold over the window bytes (routing only);
+        # column ops upcast on the fly — no 8× uint64 materialization
+        h = np.full(len(W), np.uint64(14695981039346656037))
         for j in range(window):
             h = (h ^ W[:, j]) * np.uint64(1099511628211)
         bkt = (splitmix64(h) % nb_win).astype(np.int32)
         return pa.table({
             "doc_id": pa.array(d, type=pa.int64()),
-            "win": pa.array(w),
+            "win": win_arr,
             "__bucket": pa.array(bkt),
         })
 

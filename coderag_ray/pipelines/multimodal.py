@@ -113,15 +113,16 @@ def media_features(docs_ds, batch_size: int = 256, concurrency=None):
     )
 
 
-def decode_video_frames(payload: bytes, every_n: int = 1,
-                        max_frames: int | None = None) -> list:
+def iter_video_frames(payload: bytes, every_n: int = 1,
+                      max_frames: int | None = None):
     """Real frame decode via PyAV when importable (detect-and-use hook,
     same pattern as :func:`decode_image`/PIL) — raises
     ``NotImplementedError`` otherwise (no video library ships in this
     sandbox; FrameSampleStage then uses the deterministic fake, and the
     PyAV path is covered by a pytest that skips unless importable).
-    Returns RGB ``numpy`` arrays for every ``every_n``-th frame, at most
-    ``max_frames``."""
+    GENERATOR of RGB ``numpy`` arrays for every ``every_n``-th frame, at
+    most ``max_frames`` — streaming, so a consumer holding one frame at
+    a time never materializes a whole video's frames."""
     try:
         import av  # gated import (PyAV — ffmpeg bindings)
     except ImportError as exc:
@@ -132,15 +133,22 @@ def decode_video_frames(payload: bytes, every_n: int = 1,
         ) from exc
     import io
 
-    frames = []
+    emitted = 0
     with av.open(io.BytesIO(payload)) as container:
         for i, frame in enumerate(container.decode(video=0)):
             if every_n > 1 and i % every_n:
                 continue
-            frames.append(frame.to_ndarray(format="rgb24"))
-            if max_frames is not None and len(frames) >= max_frames:
-                break
-    return frames
+            yield frame.to_ndarray(format="rgb24")
+            emitted += 1
+            if max_frames is not None and emitted >= max_frames:
+                return
+
+
+def decode_video_frames(payload: bytes, every_n: int = 1,
+                        max_frames: int | None = None) -> list:
+    """List form of :func:`iter_video_frames` (bound ``max_frames`` when
+    calling this on real payloads — frames are big)."""
+    return list(iter_video_frames(payload, every_n, max_frames))
 
 
 def real_video_decoder_available() -> bool:
@@ -163,8 +171,14 @@ class FrameSampleStage:
     same row-expansion contract (1 payload → N frame rows).
     """
 
-    def __init__(self, use_real_decoder: bool = False):
+    def __init__(self, use_real_decoder: bool = False, every_n: int = 1,
+                 max_frames: int | None = 64):
         self.use_real_decoder = use_real_decoder
+        self.every_n = every_n
+        # default CAP: a real 10-min 1080p payload is ~18k frames of
+        # ~6 MB RGB each — decoding them all would OOM the worker; the
+        # sampler's whole point is a bounded subset (pass None to lift)
+        self.max_frames = max_frames
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
@@ -172,9 +186,12 @@ class FrameSampleStage:
         out_doc, out_idx, out_sha = [], [], []
         if self.use_real_decoder:
             # real path (PyAV hook): same 1-payload → N-frame-rows
-            # contract, frame identity = sha256 of the decoded pixels
+            # contract, frame identity = sha256 of the decoded pixels;
+            # frames are hashed as they stream off the decoder — only
+            # one decoded ndarray is alive at a time
             for did, p in zip(doc_ids, payloads):
-                for i, fr in enumerate(decode_video_frames(p)):
+                for i, fr in enumerate(iter_video_frames(
+                        p, every_n=self.every_n, max_frames=self.max_frames)):
                     out_doc.append(did)
                     out_idx.append(i)
                     out_sha.append(hashlib.sha256(fr.tobytes()).hexdigest())

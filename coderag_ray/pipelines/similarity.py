@@ -158,8 +158,16 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 5):
     from coderag_ray.config import dataset_rows_estimate
 
     nb = auto_buckets(len(qids) * (k + 1), target_rows=500_000)
-    n_batches_est = max(1, -(-max(dataset_rows_estimate(emb_ds), 1) // 4096))
-    n_salt = max(1, min(65_536, -(-n_batches_est * (k + 1) // 500_000)))
+    # allow_execute=False: n_salt only needs an upper bound, and the
+    # count() backstop would execute a derived (non-parquet) plan once
+    # just to size it.  Unknown size → a moderate fixed salt: bounded
+    # lanes either way, one extra tiny exchange at worst.
+    n_rows_est = dataset_rows_estimate(emb_ds, allow_execute=False)
+    if n_rows_est > 0:
+        n_batches_est = max(1, -(-n_rows_est // 4096))
+        n_salt = max(1, min(65_536, -(-n_batches_est * (k + 1) // 500_000)))
+    else:
+        n_salt = 16
 
     def add_qbucket(salted: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -430,14 +438,10 @@ def _reduce_candidates(cand_ds, k: int, score_col: str):
     k-th within its group, and sentinel sums are associative — the
     driver merge re-sorts/heads-k the union unchanged."""
     from coderag_ray.config import auto_buckets
-    from coderag_ray.functions.hashing import splitmix64
+    from coderag_ray.stages.bucket_agg import _add_bucket
 
     nb = auto_buckets(cand_ds, target_rows=500_000)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        qcol = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (splitmix64(qcol) % np.uint64(nb)).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+    add_bucket = _add_bucket("query_id", nb)  # shared splitmix64 routing
 
     def reduce_g(g: pd.DataFrame) -> pa.Table:
         sent = g[g["vec_id"] < 0].groupby("query_id", sort=True)["n_scanned"].sum()

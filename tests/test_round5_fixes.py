@@ -306,9 +306,9 @@ def test_knn_bruteforce_salted_two_level_reduce_matches(ray_session, monkeypatch
 
     real = cfg.dataset_rows_estimate
 
-    def inflated(d_):
+    def inflated(d_, **kw):
         # pretend the corpus is ~10^10 rows → n_salt >> 1
-        return 10_000_000_000 if d_ is ds else real(d_)
+        return 10_000_000_000 if d_ is ds else real(d_, **kw)
 
     monkeypatch.setattr(cfg, "dataset_rows_estimate", inflated)
     salted = knn_bruteforce(ds, qids, k=k).to_pandas()
@@ -456,3 +456,30 @@ def test_duplicated_spans_counts_and_schema(ray_session):
         pa.table({"doc_id": pa.array([], type=pa.int64()),
                   "text": pa.array([], type=pa.string())}))).to_pandas()
     assert list(empty.columns) == list(out.columns) and len(empty) == 0
+
+
+def test_duplicated_spans_preserves_trailing_nul_bytes(ray_session):
+    """Windows differing only in trailing NUL count must NOT compare
+    equal (numpy S-dtype items strip trailing NULs; the window column is
+    fixed-size binary built from the raw byte buffer instead)."""
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import duplicated_spans
+
+    # two docs whose 8-byte windows collide after NUL-stripping but
+    # differ in raw bytes: "ab" + NULs vs "ab" + NULs + "x" shifted
+    a = "ab" + "\x00" * 30
+    b = "ab" + "\x00" * 29 + "q"
+    docs = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                     "text": pa.array([a, b])})
+    out = duplicated_spans(ray.data.from_arrow(docs), window=32, stride=8,
+                           min_dup=2).to_pandas()
+    # each doc has exactly one 32-byte window and they are DIFFERENT
+    assert out["n_windows"].tolist() == [1, 1]
+    assert out["n_dup_windows"].tolist() == [0, 0]
+    # identical trailing-NUL windows still count as dups
+    docs2 = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                      "text": pa.array([a, a])})
+    out2 = duplicated_spans(ray.data.from_arrow(docs2), window=32, stride=8,
+                            min_dup=2).to_pandas()
+    assert out2["n_dup_windows"].tolist() == [1, 1]
