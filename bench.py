@@ -305,7 +305,7 @@ def run_bench() -> dict:
                      "q_keywords", "q_media_features", "q_frame_sample",
                      "q_pack", "q_repetition", "q_mixture", "q_split", "q_redact",
                      "q_asof", "q_range_join", "q_temporal_join",
-                     "q_ivfpq_knn"):
+                     "q_ivfpq_knn", "q_substring_dup"):
             t0 = time.perf_counter()
             out = getattr(entrymod, name)(SF_DIR)
             if hasattr(out, "to_pandas"):

@@ -3,6 +3,7 @@ Mersenne-61 modular arithmetic, BPE reassembly, the vectorized JS hash,
 and the AST chunker's exact-partition invariant over generated Python."""
 
 import numpy as np
+import pyarrow as pa
 from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
@@ -219,3 +220,37 @@ def test_temporal_join_property_vs_rowwise_reference(ray_session, tbl, w):
                    & (refs.ts_us >= lo) & (refs.ts_us < hi)]
         assert got.n_ref == len(win)
         assert abs(got.sum_ref_value - round(float(win.value.sum()), 6)) < 1e-6
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=st.lists(
+    st.text(alphabet="ab\x00", min_size=0, max_size=40), min_size=0, max_size=8),
+    window=st.integers(4, 12), stride=st.integers(1, 6),
+    min_dup=st.integers(2, 3))
+def test_duplicated_spans_property_vs_bruteforce(ray_session, texts, window,
+                                                 stride, min_dup):
+    """duplicated_spans over a tiny alphabet (incl. NUL bytes — heavy
+    window collisions and the S-dtype trap) matches the brute-force
+    per-doc window count for every (window, stride, min_dup)."""
+    import ray.data
+
+    from coderag_ray.pipelines.dedup import duplicated_spans
+
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    out = duplicated_spans(ray.data.from_arrow(tbl), window=window,
+                           stride=stride, min_dup=min_dup).to_pandas()
+    wins = {i: [t.encode()[o:o + window]
+                for o in range(0, len(t.encode()) - window + 1, stride)]
+            for i, t in enumerate(texts) if len(t.encode()) >= window}
+    from collections import Counter
+    docs_per_win = Counter()
+    for ws in wins.values():
+        for w in set(ws):
+            docs_per_win[w] += 1
+    want = {i: (len(ws), sum(1 for w in ws if docs_per_win[w] >= min_dup))
+            for i, ws in wins.items()}
+    got = {int(r.doc_id): (int(r.n_windows), int(r.n_dup_windows))
+           for r in out.itertuples()}
+    assert got == want
+    assert out["doc_id"].is_monotonic_increasing
