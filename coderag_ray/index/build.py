@@ -107,9 +107,17 @@ def _fingerprints(ingest_ds, num_partitions: int) -> dict[int, str]:
     """Cheap pass: per-partition input fingerprint from ingest rows
     (non-empty docs only — matches the writer-side recomputation)."""
 
-    def project(t: pa.Table) -> pa.Table:
+    def project(t: pa.Table):
+        # generator: yield nothing for an all-filtered batch — empty
+        # output blocks are useless work for the downstream aggregate.
+        # (Ray's Aggregate op itself still emits one empty block when a
+        # hash partition holds no groups, which logs a cosmetic
+        # schema-mismatch WARNING on the driver; that one is internal
+        # to Ray and harmless.)
         t = t.filter(pc.greater(t["n_chars"], 0))
-        return pa.table(
+        if t.num_rows == 0:
+            return
+        yield pa.table(
             {
                 "part_id": t["part_id"],
                 "sha32": pa.array(sha_prefix_u32(t["content_sha256"])),
