@@ -1235,10 +1235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     block-max skip metadata (the WAND pruning structure) from first
     principles.  Every standalone callable (q_asof, q_range_join,
     q_media_features, q_frame_sample, q_media_resize, q_lsh_knn,
-    q_ivf_knn, q_simhash, q_lsh_recall, q_ivf_recall, q_ivfpq_recall)
-    still exists with its own oracle in ``EXTRA_QUERIES``/
-    ``EXTRA_ORACLES`` and is checked by scripts/check_oracles.py
-    (CORRECTNESS_SELF artifact)."""
+    q_ivf_knn, q_simhash, q_lsh_recall, q_ivf_recall, q_ivfpq_recall,
+    q_substring_dup) still exists with its own oracle in
+    ``EXTRA_QUERIES``/``EXTRA_ORACLES`` and is checked by
+    scripts/check_oracles.py (CORRECTNESS_SELF artifact)."""
     return {
         "q_chunk_stats": q_chunk_stats,
         "q_doc_stats": q_doc_stats,
